@@ -1,0 +1,180 @@
+"""Snapshot-committed table catalog — the Iceberg seam (SURVEY.md §7.4).
+
+On a production cluster the engine targets Iceberg tables
+(``df.writeTo(t).append()``, ``MERGE INTO``, snapshot rollback). This sandbox
+has no Iceberg runtime jar and no network, so the same contract is provided
+by partitioned Parquet directories plus a JSON *manifest log*: every commit
+writes new parquet files under ``data/`` and then atomically publishes a new
+manifest (snapshot id, list of live files, counters) via rename. Readers
+resolve the latest manifest and read exactly its file list — giving the
+atomic-commit, read-committed, resume-from-snapshot semantics the north rule
+requires, with a one-line swap to Iceberg when the jar is present.
+
+Why not plain ``df.write.parquet(mode="append")``: a killed job would leave
+half-written files visible to the next reader. The manifest makes a wave's
+output all-or-nothing (replaces the reference's non-atomic file+index double
+write, ref json_storage.py:200-221, whose crash window SURVEY.md §3.2
+documents).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    files: list[str]
+    counters: dict[str, int] = field(default_factory=dict)
+    parent_id: int | None = None
+
+
+class Table:
+    """One snapshot-committed table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "meta")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # --- snapshot log --------------------------------------------------------
+
+    def _head_path(self) -> str:
+        return os.path.join(self.meta_dir, "HEAD")
+
+    def current_snapshot(self) -> Snapshot | None:
+        try:
+            with open(self._head_path()) as f:
+                sid = int(f.read().strip())
+        except FileNotFoundError:
+            return None
+        return self.snapshot(sid)
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")) as f:
+            d = json.load(f)
+        return Snapshot(d["snapshot_id"], d["files"], d.get("counters", {}), d.get("parent_id"))
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-"):
+                out.append(self.snapshot(int(name[5:-5])))
+        return sorted(out, key=lambda s: s.snapshot_id)
+
+    def _publish(self, snap: Snapshot) -> None:
+        path = os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "snapshot_id": snap.snapshot_id,
+                    "parent_id": snap.parent_id,
+                    "files": snap.files,
+                    "counters": snap.counters,
+                },
+                f,
+            )
+        os.replace(tmp, path)  # atomic manifest write
+        head_tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(head_tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+        os.replace(head_tmp, self._head_path())  # atomic pointer swap
+
+    # --- commits -------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Materialize df as new parquet files; return their paths.
+
+        One distributed write — Spark tasks are the fan-out (replaces the
+        reference's asyncio.gather thread fan-out, json_storage.py:279-293).
+        """
+        out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
+        df.write.parquet(out_dir, mode="overwrite")
+        return [
+            os.path.join(out_dir, name)
+            for name in os.listdir(out_dir)
+            if name.endswith(".parquet")
+        ]
+
+    def _next_id(self, parent: Snapshot | None) -> int:
+        return (parent.snapshot_id + 1) if parent else 1
+
+    def append(self, df: DataFrame, counters: dict[str, int] | None = None) -> Snapshot:
+        parent = self.current_snapshot()
+        files = self._write_files(df)
+        snap = Snapshot(
+            self._next_id(parent),
+            (parent.files if parent else []) + files,
+            counters or {},
+            parent.snapshot_id if parent else None,
+        )
+        self._publish(snap)
+        return snap
+
+    def overwrite(self, df: DataFrame, counters: dict[str, int] | None = None) -> Snapshot:
+        parent = self.current_snapshot()
+        files = self._write_files(df)
+        snap = Snapshot(
+            self._next_id(parent),
+            files,
+            counters or {},
+            parent.snapshot_id if parent else None,
+        )
+        self._publish(snap)
+        return snap
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Reset HEAD to an earlier snapshot (Iceberg rollback analog).
+
+        The reference degrades a corrupted index to ``{}`` silently
+        (json_storage.py:134-136); the engine's policy is explicit rollback
+        instead (SURVEY.md §4).
+        """
+        snap = self.snapshot(snapshot_id)
+        child = Snapshot(self._next_id(self.current_snapshot()), snap.files, snap.counters, snapshot_id)
+        self._publish(child)
+        return child
+
+    # --- reads ---------------------------------------------------------------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame | None:
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        if snap is None or not snap.files:
+            return None
+        # mergeSchema: appended batches may carry new columns (schema-on-read
+        # parity with the reference, SURVEY.md §1.1)
+        return self.spark.read.option("mergeSchema", "true").parquet(*snap.files)
+
+    def is_empty(self) -> bool:
+        snap = self.current_snapshot()
+        return snap is None or not snap.files
+
+
+class Catalog:
+    """Namespace of tables under one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.spark, os.path.join(self.warehouse, name))
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        path = os.path.join(self.warehouse, name)
+        if os.path.exists(path):
+            shutil.rmtree(path)

@@ -1,0 +1,476 @@
+"""ProductStore — the reference's BaseStorage contract as Spark programs.
+
+Re-expresses the nine storage operators of the reference
+(``crawl4ai_llm/storage/base.py:29-200``, implemented in
+``crawl4ai_llm/storage/json_storage.py``) over a snapshot-committed table:
+
+==============  ============================================================
+reference op    Spark realization (SURVEY.md §2)
+==============  ============================================================
+save_product    one-row batch through save_products (D1)
+save_products   dup pre-check = groupBy(id) intra-batch + left-semi join vs
+                existing, then ONE atomic append commit (D2)
+get_product     point lookup ``where(id = …)`` (S6)
+get_products    broadcast semi-join + input-order preservation (S7)
+update_product  shallow-merge MERGE semantics via join + per-column
+                provided-key resolution (D3)
+update_products batch MERGE with all-or-nothing pre-validation (D4)
+delete_product  anti-join rewrite (D5)
+delete_products batch anti-join, all-or-nothing (D6)
+list_products   filter → sort → paginate → hydrate pipeline (Q1-Q7)
+==============  ============================================================
+
+Scale notes: every mutation is ONE distributed job + ONE atomic snapshot
+commit — the reference's O(index) read-modify-write per call
+(json_storage.py:195-221) is what capped it at ~356 rec/s (BASELINE.md).
+Duplicate checks are joins (broadcast when the batch is small), so they
+shuffle the big table at most once, and the id-generation / timestamp
+stamping is pure column expressions (whole-stage codegen, no Python in the
+hot path).
+
+Semantics rulings carried from executing the reference (SURVEY.md §5.2):
+arbitrary undeclared fields are preserved (schema-on-read); intra-batch
+duplicates — which corrupt data in the reference — are rejected
+deterministically here; filter surface is all columns, with
+``compat_mode=True`` restricting to the reference's indexed fields.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawl4ai_llm_spark.catalog import Catalog, Table
+from crawl4ai_llm_spark.errors import DuplicateProductError, ProductNotFoundError
+
+# Fields the reference can filter/sort on (its index projection,
+# json_storage.py:211-219) — used when compat_mode=True.
+REFERENCE_FILTERABLE = {"id", "sku", "url", "store_name", "title"}
+
+ENGINE_COLS = {"id", "metadata", "_seq"}
+
+
+@dataclass
+class ListResult:
+    """Result envelope — field-for-field the reference contract
+    (base.py:189-196, json_storage.py:684-690)."""
+
+    products: list[dict[str, Any]]
+    total: int
+    page: int
+    page_size: int
+    total_pages: int
+
+
+def _lit_value(v: Any) -> Column:
+    """Literal for a filter value, including whole-list equality
+    (ref test_json_storage.py:527-530)."""
+    if isinstance(v, list):
+        return F.array(*[_lit_value(x) for x in v])
+    return F.lit(v)
+
+
+def _type_compatible(dtype: T.DataType, v: Any) -> bool:
+    """Reference equality is Python ``!=`` — a type-mismatched comparison is
+    simply 'no match' (json_storage.py:708), never an error. Spark would
+    instead raise CAST_INVALID_INPUT trying to coerce, so pre-check."""
+    if v is None:
+        return True
+    if isinstance(dtype, T.StringType):
+        return isinstance(v, str)
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                          T.DoubleType, T.FloatType, T.DecimalType)):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(dtype, T.BooleanType):
+        return isinstance(v, bool)
+    if isinstance(dtype, T.ArrayType):
+        return isinstance(v, list) and all(_type_compatible(dtype.elementType, x) for x in v)
+    return True
+
+
+class ProductStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        compat_mode: bool = False,
+        deterministic_ids: bool = True,
+    ):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+        self.table: Table = self.catalog.table("products")
+        self.compat_mode = compat_mode
+        # reference falls back to uuid4 (json_storage.py:90); deterministic
+        # mode derives the id from a content hash instead so runs replay.
+        self.deterministic_ids = deterministic_ids
+
+    # ------------------------------------------------------------------ reads
+
+    def _df(self) -> DataFrame | None:
+        return self.table.read()
+
+    def _require_df(self) -> DataFrame:
+        df = self._df()
+        if df is None:
+            raise ProductNotFoundError(["<empty store>"])
+        return df
+
+    def _resolve(self, df: DataFrame, field: str) -> Column | None:
+        """Resolve a (possibly dotted) field name against the live schema.
+
+        Reference resolves one-level ``metadata.<key>`` paths
+        (json_storage.py:704-709); engine resolves any one-level struct or
+        map path against whatever schema the data actually has.
+        """
+        names = set(df.columns)
+        if field in names:
+            return F.col(field)
+        if "." in field:
+            head, rest = field.split(".", 1)
+            if head not in names:
+                return None
+            dtype = df.schema[head].dataType
+            if isinstance(dtype, T.StructType):
+                if rest in dtype.fieldNames():
+                    return F.col(head).getField(rest)
+                return None
+            if isinstance(dtype, T.MapType):
+                return F.col(head).getItem(rest)
+        return None
+
+    def _filterable(self, field: str) -> bool:
+        if not self.compat_mode:
+            return True
+        # reference surface: indexed fields + id + metadata.* (SURVEY §5.2)
+        return field in REFERENCE_FILTERABLE or field.startswith("metadata.")
+
+    # ------------------------------------------------------------------ writes
+
+    def _rows_df(self, rows: list[dict[str, Any]]) -> DataFrame:
+        """Dicts → DataFrame with the union of all keys (missing ⇒ null),
+        preserving arbitrary undeclared fields (schema-on-read parity)."""
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        normalized = [{k: r.get(k) for k in keys} for r in rows]
+        return self.spark.createDataFrame(normalized)
+
+    def _ensure_id_and_stamps(self, df: DataFrame, next_seq: int) -> DataFrame:
+        """E1 id hierarchy + E4 timestamps + save-order sequence.
+
+        id precedence (verified ref behavior, json_storage.py:61-90):
+        explicit id → "{store_name}_{sku}" → url-hash id → random.
+        Pure column expressions — no Python per row.
+        """
+        cols = set(df.columns)
+        id_col = F.col("id").cast("string") if "id" in cols else F.lit(None).cast("string")
+        store = F.col("store_name") if "store_name" in cols else F.lit(None).cast("string")
+        sku = F.col("sku") if "sku" in cols else F.lit(None).cast("string")
+        url = F.col("url") if "url" in cols else F.lit(None).cast("string")
+        fallback = (
+            F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])), 256)
+            if self.deterministic_ids
+            else F.expr("uuid()")
+        )
+        generated = F.coalesce(
+            id_col,
+            F.when(store.isNotNull() & sku.isNotNull(), F.concat_ws("_", store, sku)),
+            # reference: f"url_{hash(url)}" with process-salted hash
+            # (json_storage.py:87); engine uses murmur3 (deterministic,
+            # SURVEY §8.3 ruling).
+            F.when(url.isNotNull(), F.concat(F.lit("url_"), F.hash(url).cast("string"))),
+            fallback,
+        )
+        now = F.current_timestamp()
+        out = df.withColumn("id", generated)
+        out = out.withColumn(
+            "metadata",
+            F.struct(now.alias("created_at"), now.alias("updated_at")),
+        )
+        out = out.withColumn(
+            "_seq", F.lit(next_seq) + F.row_number().over(self._save_order_window()) - 1
+        )
+        return out
+
+    @staticmethod
+    def _save_order_window():
+        from pyspark.sql.window import Window
+
+        # input order within a batch — monotonically_increasing_id preserves
+        # the incoming partition order for a driver-created batch
+        return Window.orderBy(F.monotonically_increasing_id())
+
+    def _next_seq(self) -> int:
+        snap = self.table.current_snapshot()
+        return int(snap.counters.get("max_seq", 0)) + 1 if snap else 1
+
+    def save_product(self, product: dict[str, Any]) -> str:
+        """D1 — single insert; raises DuplicateProductError on id collision."""
+        return self.save_products([product])[0]
+
+    def save_products(self, products: list[dict[str, Any]]) -> list[str]:
+        """D2 — batch insert, one atomic commit.
+
+        Empty fast-path returns [] (ref json_storage.py:239-240). All
+        duplicate checks happen BEFORE any write. Intra-batch duplicates are
+        rejected (reference would corrupt data here — SURVEY §2.2 D2 ruling).
+        """
+        if not products:
+            return []
+        batch = self._rows_df(products)  # schema-on-read inference
+        batch = self._ensure_id_and_stamps(batch, self._next_seq())
+        batch = batch.cache()
+        try:
+            ids = [r["id"] for r in batch.select("id").collect()]
+            # intra-batch duplicate detection: groupBy(id) count > 1
+            seen: set[str] = set()
+            intra = sorted({i for i in ids if i in seen or seen.add(i)})
+            if intra:
+                raise DuplicateProductError(intra)
+            existing = self._df()
+            if existing is not None:
+                # dup-vs-existing = semi-join of the (small) batch against
+                # the table; Catalyst broadcasts the batch side.
+                # semi-join with the small batch broadcast as the build side
+                dups = [
+                    r["id"]
+                    for r in existing.select("id")
+                    .join(F.broadcast(batch.select("id")), "id", "left_semi")
+                    .collect()
+                ]
+                if dups:
+                    raise DuplicateProductError(sorted(dups))
+            self.table.append(
+                batch, counters={"max_seq": self._next_seq() + len(ids) - 1}
+            )
+            return ids
+        finally:
+            batch.unpersist()
+
+    # ------------------------------------------------------------------ lookups
+
+    def get_product(self, product_id: str) -> dict[str, Any]:
+        """S6 — point lookup; ProductNotFoundError if absent."""
+        df = self._df()
+        if df is not None:
+            rows = df.where(F.col("id") == F.lit(product_id)).drop("_seq").collect()
+            if rows:
+                return rows[0].asDict(recursive=True)
+        raise ProductNotFoundError([product_id])
+
+    def get_products(self, product_ids: list[str]) -> list[dict[str, Any]]:
+        """S7 — batch lookup, input-order preserving, ALL missing ids listed
+        before any result is returned (ref json_storage.py:353-361)."""
+        if not product_ids:
+            return []
+        df = self._df()
+        found: dict[str, dict] = {}
+        if df is not None:
+            ids_lit = F.array(*[F.lit(i) for i in product_ids])
+            rows = (
+                df.where(F.col("id").isin(product_ids))
+                .withColumn("_rank", F.array_position(ids_lit, F.col("id")))
+                .orderBy("_rank")
+                .drop("_rank", "_seq")
+                .collect()
+            )
+            found = {r["id"]: r.asDict(recursive=True) for r in rows}
+        missing = [i for i in product_ids if i not in found]
+        if missing:
+            raise ProductNotFoundError(missing)
+        return [found[i] for i in product_ids]
+
+    # ------------------------------------------------------------------ updates
+
+    def update_product(self, product_id: str, update: dict[str, Any]) -> dict[str, Any]:
+        """D3 — shallow merge ``{**existing, **update}``.
+
+        Nested dicts/lists are wholly replaced (verified ref behavior,
+        test_json_storage.py:163-166); only updated_at is bumped.
+        """
+        if not product_id:
+            raise ValueError("product_id is required")
+        self.update_products([{**update, "id": product_id}])
+        return self.get_product(product_id)
+
+    def update_products(self, updates: list[dict[str, Any]]) -> int:
+        """D4 — batch shallow merge, all-or-nothing.
+
+        Validation order matches the reference (json_storage.py:460-471):
+        every payload must carry an id, then every id must exist, before any
+        write. One shared timestamp per batch (ref :478). Realized as the
+        MERGE-equivalent: full-table join against the update batch with
+        per-column "was this key provided?" resolution — exact
+        ``{**existing, **update}`` semantics including explicit nulls.
+        """
+        if not updates:
+            return 0
+        no_id = [i for i, u in enumerate(updates) if not u.get("id")]
+        if no_id:
+            raise ValueError(f"updates at positions {no_id} lack an id")
+        df = self._df()
+        if df is None:
+            raise ProductNotFoundError(sorted({u["id"] for u in updates}))
+        upd_ids = [u["id"] for u in updates]
+        existing_ids = {
+            r["id"] for r in df.where(F.col("id").isin(upd_ids)).select("id").collect()
+        }
+        missing = sorted(set(upd_ids) - existing_ids)
+        if missing:
+            raise ProductNotFoundError(missing)
+
+        # annotate each update dict with the set of keys it provides
+        upd_rows = [{**u, "_provided": sorted(k for k in u if k != "id")} for u in updates]
+        upd = self._rows_df(upd_rows)
+        upd = upd.select(
+            [F.col(c).alias(f"_u_{c}") if c != "id" else F.col(c) for c in upd.columns]
+        )
+
+        merged = df.join(F.broadcast(upd), "id", "left")
+        provided = F.coalesce(F.col("_u__provided"), F.array().cast("array<string>"))
+        matched = F.col("_u__provided").isNotNull()
+
+        out_cols: list[Column] = [F.col("id")]
+        base_cols = [c for c in df.columns if c != "id"]
+        upd_only = [
+            c[3:]
+            for c in upd.columns
+            if c.startswith("_u_") and c != "_u__provided" and c[3:] not in df.columns
+        ]
+        for c in base_cols:
+            if c == "metadata":
+                # bump only updated_at for matched rows (ref :412-413)
+                out_cols.append(
+                    F.when(
+                        matched,
+                        F.struct(
+                            F.col("metadata.created_at").alias("created_at"),
+                            F.current_timestamp().alias("updated_at"),
+                        ),
+                    )
+                    .otherwise(F.col("metadata"))
+                    .alias("metadata")
+                )
+            elif f"_u_{c}" in upd.columns:
+                out_cols.append(
+                    F.when(F.array_contains(provided, c), F.col(f"_u_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        for c in upd_only:  # brand-new fields introduced by the update
+            out_cols.append(
+                F.when(F.array_contains(provided, c), F.col(f"_u_{c}")).alias(c)
+            )
+        self.table.overwrite(
+            merged.select(out_cols),
+            counters=self.table.current_snapshot().counters,
+        )
+        return len(updates)
+
+    # ------------------------------------------------------------------ deletes
+
+    def delete_product(self, product_id: str) -> bool:
+        """D5 — delete one; ProductNotFoundError if absent; returns True."""
+        self.delete_products([product_id])
+        return True
+
+    def delete_products(self, product_ids: list[str]) -> int:
+        """D6 — batch delete, all-or-nothing precheck (verified rollback,
+        ref test_json_storage_batch.py:288-301); empty ⇒ 0."""
+        if not product_ids:
+            return 0
+        df = self._df()
+        if df is None:
+            raise ProductNotFoundError(sorted(set(product_ids)))
+        existing = {
+            r["id"]
+            for r in df.where(F.col("id").isin(product_ids)).select("id").collect()
+        }
+        missing = sorted(set(product_ids) - existing)
+        if missing:
+            raise ProductNotFoundError(missing)
+        remaining = df.where(~F.col("id").isin(product_ids))
+        self.table.overwrite(remaining, counters=self.table.current_snapshot().counters)
+        return len(product_ids)
+
+    # ------------------------------------------------------------------ query
+
+    def list_products_df(
+        self,
+        filters: dict[str, Any] | None = None,
+        page: int = 1,
+        page_size: int = 100,
+        sort_by: str | None = None,
+        sort_order: str = "asc",
+    ) -> tuple[DataFrame, int]:
+        """The Q1-Q6 pipeline as a DataFrame (page_df, total).
+
+        filter → sort → offset/limit. Late materialization (ref
+        json_storage.py:674-678) is Catalyst column pruning — nothing to
+        hand-roll. Missing sort values sort as "" (ref :657-658); ties break
+        by save order (_seq), replicating the reference's stable Timsort over
+        dict-insertion order.
+        """
+        df = self._df()
+        if df is None:
+            empty = self.spark.createDataFrame([], T.StructType([T.StructField("id", T.StringType())]))
+            return empty, 0
+        if filters:
+            preds: list[Column] = []
+            for field, value in filters.items():
+                col = self._resolve(df, field) if self._filterable(field) else None
+                if col is None:
+                    # unknown/unindexed field ⇒ match nothing (verified ref
+                    # behavior, SURVEY §5.2) — in both modes, a filter on a
+                    # nonexistent column cannot match.
+                    preds.append(F.lit(False))
+                elif field in df.columns and not _type_compatible(
+                    df.schema[field].dataType, value
+                ):
+                    preds.append(F.lit(False))  # type mismatch ⇒ no match
+                else:
+                    preds.append(col == _lit_value(value))
+            df = df.where(reduce(lambda a, b: a & b, preds))
+        total = df.count()
+
+        order = []
+        if sort_by:
+            key = self._resolve(df, sort_by)
+            key = F.coalesce(key.cast("string"), F.lit("")) if key is not None else F.lit("")
+            order.append(key.desc() if sort_order.lower() == "desc" else key.asc())
+        order.append(F.col("_seq").asc())  # stable tiebreak = save order
+        df = df.orderBy(*order)
+
+        start = (page - 1) * page_size
+        page_df = df.offset(start).limit(page_size).drop("_seq")
+        return page_df, total
+
+    def list_products(
+        self,
+        filters: dict[str, Any] | None = None,
+        page: int = 1,
+        page_size: int = 100,
+        sort_by: str | None = None,
+        sort_order: str = "asc",
+    ) -> ListResult:
+        """Q7 — full envelope, contract-identical to the reference
+        (base.py:189-196): total_pages = ceil(total/page_size), minimum 1."""
+        page_df, total = self.list_products_df(filters, page, page_size, sort_by, sort_order)
+        products = [r.asDict(recursive=True) for r in page_df.collect()]
+        return ListResult(
+            products=products,
+            total=total,
+            page=page,
+            page_size=page_size,
+            total_pages=max(1, math.ceil(total / page_size)),
+        )

@@ -1,0 +1,248 @@
+"""Contract tests — the reference's verified behaviors, ported (SURVEY.md §5.3).
+
+Each test names the reference behavior it ports (file:line into
+/root/reference). Where the reference's own tests and code disagree, the
+SURVEY §5.2 ruling applies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl4ai_llm_spark.errors import DuplicateProductError, ProductNotFoundError
+
+
+def sample_product(i: int = 0) -> dict:
+    # shape of ref tests/test_json_storage.py:39-61
+    return {
+        "title": f"Test Product {i}",
+        "description": "A product",
+        "sku": f"SKU{i:04d}",
+        "url": f"https://example.com/p/{i}",
+        "store_name": "Test Store",
+        "attributes": {"color": "red", "size": "M"},
+    }
+
+
+# --- save / get roundtrip (ref test_json_storage.py:103-160) ----------------
+
+
+def test_save_and_get_roundtrip(store):
+    pid = store.save_product(sample_product(1))
+    assert pid == "Test Store_SKU0001"  # E1: store_name_sku (json_storage.py:83)
+    got = store.get_product(pid)
+    assert got["title"] == "Test Product 1"
+    assert got["attributes"] == {"color": "red", "size": "M"}  # undeclared fields kept
+    assert got["metadata"]["created_at"] is not None
+    assert got["metadata"]["updated_at"] is not None
+
+
+def test_duplicate_save_raises(store):
+    store.save_product(sample_product(1))
+    with pytest.raises(DuplicateProductError):
+        store.save_product(sample_product(1))  # ref json_storage.py:195-197
+
+
+def test_get_missing_raises(store):
+    store.save_product(sample_product(1))
+    with pytest.raises(ProductNotFoundError):
+        store.get_product("nope")  # ref json_storage.py:317-319
+
+
+def test_id_generation_hierarchy(store):
+    # ref test_json_storage.py:472-492
+    assert store.save_product({"id": "explicit", "title": "a"}) == "explicit"
+    assert store.save_product({"store_name": "S", "sku": "K", "title": "b"}) == "S_K"
+    url_id = store.save_product({"url": "https://x.com/1", "title": "c"})
+    assert url_id.startswith("url_")  # url-hash branch (murmur3, SURVEY §8.3)
+    fallback_id = store.save_product({"title": "d"})
+    assert fallback_id and fallback_id not in {"explicit", "S_K", url_id}
+
+
+# --- batch save (ref test_json_storage_batch.py) -----------------------------
+
+
+def test_save_products_batch_and_order(store):
+    ids = store.save_products([sample_product(i) for i in range(5)])
+    assert ids == [f"Test Store_SKU{i:04d}" for i in range(5)]
+    got = store.get_products(ids[::-1])
+    assert [g["sku"] for g in got] == [f"SKU{i:04d}" for i in reversed(range(5))]  # input order
+
+
+def test_save_products_empty_fast_path(store):
+    assert store.save_products([]) == []  # ref json_storage.py:239-240
+
+
+def test_save_products_existing_dup_all_or_nothing(store):
+    store.save_product(sample_product(1))
+    with pytest.raises(DuplicateProductError):
+        store.save_products([sample_product(2), sample_product(1)])
+    # nothing from the failed batch landed
+    with pytest.raises(ProductNotFoundError):
+        store.get_product("Test Store_SKU0002")
+
+
+def test_save_products_intra_batch_dup_rejected(store):
+    # SURVEY §2.2 D2 ruling: the reference silently corrupts here; the
+    # engine rejects deterministically.
+    with pytest.raises(DuplicateProductError):
+        store.save_products([sample_product(1), sample_product(1)])
+
+
+def test_get_products_lists_all_missing(store):
+    store.save_products([sample_product(i) for i in range(2)])
+    with pytest.raises(ProductNotFoundError) as e:
+        store.get_products(["Test Store_SKU0000", "m1", "m2"])
+    assert set(e.value.missing_ids) == {"m1", "m2"}  # ref json_storage.py:360-361
+
+
+# --- update (ref test_json_storage.py:163-193, batch :206-229) ---------------
+
+
+def test_update_shallow_merge(store):
+    pid = store.save_product(sample_product(1))
+    store.update_product(pid, {"title": "New", "attributes": {"color": "blue"}})
+    got = store.get_product(pid)
+    assert got["title"] == "New"
+    # nested dict wholly replaced, not deep-merged (ref test:163-166)
+    assert got["attributes"] == {"color": "blue"}
+    assert got["description"] == "A product"  # untouched field kept
+    assert got["metadata"]["updated_at"] >= got["metadata"]["created_at"]
+
+
+def test_update_requires_id(store):
+    with pytest.raises(ValueError):
+        store.update_product("", {"title": "x"})  # ref json_storage.py:396-397
+
+
+def test_update_missing_raises(store):
+    store.save_product(sample_product(1))
+    with pytest.raises(ProductNotFoundError):
+        store.update_product("nope", {"title": "x"})
+
+
+def test_update_products_all_or_nothing(store):
+    ids = store.save_products([sample_product(i) for i in range(2)])
+    with pytest.raises(ProductNotFoundError):
+        store.update_products(
+            [{"id": ids[0], "title": "changed"}, {"id": "missing", "title": "x"}]
+        )
+    assert store.get_product(ids[0])["title"] == "Test Product 0"  # rolled back
+
+
+def test_update_products_new_field(store):
+    ids = store.save_products([sample_product(i) for i in range(2)])
+    store.update_products([{"id": ids[0], "category": "tools"}])
+    assert store.get_product(ids[0])["category"] == "tools"
+    assert store.get_product(ids[1])["category"] is None
+
+
+# --- delete (ref test_json_storage.py, batch :288-301) -----------------------
+
+
+def test_delete_product(store):
+    pid = store.save_product(sample_product(1))
+    assert store.delete_product(pid) is True
+    with pytest.raises(ProductNotFoundError):
+        store.get_product(pid)
+
+
+def test_delete_missing_raises(store):
+    store.save_product(sample_product(1))
+    with pytest.raises(ProductNotFoundError):
+        store.delete_product("nope")
+
+
+def test_delete_products_all_or_nothing(store):
+    ids = store.save_products([sample_product(i) for i in range(3)])
+    with pytest.raises(ProductNotFoundError):
+        store.delete_products([ids[0], "missing"])
+    assert store.get_product(ids[0])["title"] == "Test Product 0"  # still there
+    assert store.delete_products(ids) == 3
+    assert store.delete_products([]) == 0  # empty fast-path (ref :572-573)
+
+
+# --- list_products pipeline (ref test_json_storage.py:196-240, 495-534) ------
+
+
+def test_list_filter_sort_paginate(store):
+    store.save_products(
+        [
+            {**sample_product(i), "store_name": "A" if i % 2 == 0 else "B"}
+            for i in range(10)
+        ]
+    )
+    res = store.list_products(filters={"store_name": "A"}, sort_by="sku", sort_order="desc")
+    assert res.total == 5
+    assert res.total_pages == 1
+    assert [p["sku"] for p in res.products] == [f"SKU{i:04d}" for i in (8, 6, 4, 2, 0)]
+
+
+def test_list_pagination_envelope(store):
+    store.save_products([sample_product(i) for i in range(7)])
+    res = store.list_products(page=2, page_size=3, sort_by="sku")
+    assert (res.total, res.page, res.page_size, res.total_pages) == (7, 2, 3, 3)
+    assert [p["sku"] for p in res.products] == ["SKU0003", "SKU0004", "SKU0005"]
+
+
+def test_list_empty_envelope(store):
+    res = store.list_products()
+    # total_pages is min 1 even when empty (ref json_storage.py:668)
+    assert (res.total, res.total_pages, res.products) == (0, 1, [])
+
+
+def test_list_unknown_filter_matches_nothing(store):
+    store.save_products([sample_product(i) for i in range(3)])
+    res = store.list_products(filters={"no_such_field": "x"})
+    assert res.total == 0  # verified ref behavior (SURVEY §5.2)
+
+
+def test_list_dot_path_filter_and_list_equality(store):
+    # ref test_json_storage.py:527-530 — whole-list equality on metadata.tags;
+    # engine stores user tags as a regular column.
+    store.save_products(
+        [
+            {"id": "a", "title": "t1", "tags": ["x", "y"]},
+            {"id": "b", "title": "t2", "tags": ["x"]},
+        ]
+    )
+    res = store.list_products(filters={"tags": ["x", "y"]})
+    assert [p["id"] for p in res.products] == ["a"]
+
+
+def test_list_missing_sort_value_sorts_first_asc(store):
+    store.save_products(
+        [
+            {"id": "a", "title": "t", "rank": "2"},
+            {"id": "b", "title": "t"},  # no rank → "" → first asc
+            {"id": "c", "title": "t", "rank": "1"},
+        ]
+    )
+    res = store.list_products(sort_by="rank")
+    assert [p["id"] for p in res.products] == ["b", "c", "a"]
+
+
+def test_list_tie_order_is_save_order(store):
+    # reference ties = dict-insertion order = save order (SURVEY §2.3 Q3)
+    store.save_products([{"id": str(i), "title": "same"} for i in (3, 1, 2)])
+    res = store.list_products(sort_by="title")
+    assert [p["id"] for p in res.products] == ["3", "1", "2"]
+
+
+def test_list_type_mismatched_filter_matches_nothing(store):
+    # reference equality is Python != — type mismatch means "no match",
+    # never a cast error (json_storage.py:708)
+    store.save_products([sample_product(1)])
+    assert store.list_products(filters={"sku": 42}).total == 0
+    assert store.list_products(filters={"title": True}).total == 0
+
+
+def test_compat_mode_restricts_filter_surface(spark, tmp_path):
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    s = ProductStore(spark, str(tmp_path / "w2"), compat_mode=True)
+    s.save_products([{**sample_product(1), "category": "tools"}])
+    # category is real data but NOT in the reference's index projection →
+    # matches nothing in compat mode (verified ref behavior, SURVEY §5.2)
+    assert s.list_products(filters={"category": "tools"}).total == 0
+    assert s.list_products(filters={"sku": "SKU0001"}).total == 1
