@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from crawl4ai_llm_spark import queries as q  # noqa: E402
+from crawl4ai_llm_spark.operators import dedup, similarity, textops  # noqa: E402
+
+_MODULES = [q, textops, dedup, similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,9 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(q.QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(q.ORACLES)
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,398 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five tiers, each a ``queries()`` entry with a DuckDB oracle:
+
+  exact          hash-groupBy on full text — one shuffle on the text hash
+  ngram_jaccard  exact 3-gram Jaccard via shingle join — the semantic spec
+  minhash_lsh    MinHash signatures + banded LSH candidates + exact verify —
+                 the 100 TB path (candidates ∝ true duplicates, not n²)
+  simhash        32-bit SimHash + 4×8-bit band blocking + Hamming verify —
+                 pigeonhole-EXACT for radius ≤ 3 (4 bands, ≤3 flipped bits ⇒
+                 at least one band untouched ⇒ zero false negatives)
+  embedding      cosine near-dup over embedding vectors (exact pair scan
+                 here; the LSH-bucketed scale path is in similarity.py)
+
+Scale design: the shingle explode keys every shuffle by gram/band/bucket —
+never by document — so hot documents don't skew partitions; ultra-frequent
+shingles are the skew risk and MinHash banding is exactly the mitigation
+(a band key is a 4-tuple of signature mins, near-uniform by construction).
+
+All hashing is the engine-portable polynomial/mix arithmetic from
+functions/text.py, so the oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_llm_spark.functions import text as tx
+from crawl4ai_llm_spark.functions import vectors as vx
+from crawl4ai_llm_spark.session import load_table
+
+JACCARD_TAU = 0.5
+SIMHASH_RADIUS = 3
+COSINE_TAU = 0.4
+
+# MinHash config: 128 permutations = 32 bands × 4 rows. For a true pair at
+# J ≥ 0.9 the miss probability is (1 - 0.9^4)^32 ≈ 1.5e-15 — and every
+# surviving candidate is verified exactly, so precision is exact.
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = 4
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, tx.HASH_P) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, tx.HASH_P) for _ in range(N_HASHES)]
+
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+
+def word_ngrams(toks, n: int = 3):
+    """Distinct word n-grams as strings (shingles)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", word_ngrams(tx.tokens(F.col("text"))).alias("grams")
+    )
+
+
+def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard ≥ tau over (optionally pre-filtered candidate) pairs.
+
+    Without candidates: shingle-inverted-index join — each gram co-locates
+    its documents, the only all-pairs work is within a gram's posting list.
+    With candidates: verification-only, joins the gram sets back to the
+    candidate pairs (the LSH path).
+    """
+    e = shingles.select("doc_id", F.explode("grams").alias("gram"))
+    n = shingles.select("doc_id", F.size("grams").alias("n"))
+    if candidates is None:
+        a, b = e.alias("a"), e.alias("b")
+        inter = (
+            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+        gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+        inter = (
+            candidates.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+            )
+        )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(j >= tau)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content: one hash-shuffle on the text (at 100 TB:
+    groupBy a 128-bit content hash, never the text itself — same plan shape).
+    The union-all simulates a re-crawled corpus where every doc arrives
+    twice; keeper = min doc_id, matching the reference's first-writer-wins
+    duplicate semantics (DuplicateProductError on second save, D1)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    influx = docs.unionAll(docs.select(F.col("doc_id") + 100000, "text"))
+    return (
+        influx.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies", F.length("text").alias("text_len"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return _jaccard_pairs(doc_shingles(spark, sf), JACCARD_TAU)
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """128 min-hash values per doc in ONE aggregation pass: explode shingles,
+    hash once, take 128 affine-permutation mins map-side (partial agg does
+    the heavy lifting before the shuffle)."""
+    e = shingles.select("doc_id", F.explode("grams").alias("gram"))
+    gh = tx.char_fingerprint(F.col("gram"))
+    e = e.select("doc_id", gh.alias("gh"))
+    mins = [
+        F.min((F.col("gh") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(tx.HASH_P)).alias(
+            f"h{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return e.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signature (32 bands × 4 rows), bucket-join within bands.
+    Band keys are near-uniform, so the self-join per (band, key) bucket is
+    skew-free — this is what replaces the n² pair scan at scale."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bd = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup: candidates from banding, then exact Jaccard
+    verification — same output contract as q_dedup_ngram_jaccard, built
+    without the all-pairs shingle join."""
+    shingles = doc_shingles(spark, sf)
+    cand = lsh_candidates(minhash_signatures(shingles))
+    return _jaccard_pairs(shingles, JACCARD_TAU, candidates=cand)
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash32(shingles_or_tokens: DataFrame, col: str = "toks") -> DataFrame:
+    """32-bit SimHash per doc over distinct tokens: explode token×bit,
+    sign-sum per bit, pack. Entirely relational — two shuffles on doc_id."""
+    e = shingles_or_tokens.select("doc_id", F.explode(col).alias("tok"))
+    e = e.select("doc_id", tx.token_hash32(F.col("tok")).alias("h"))
+    bits = e.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"), "h"
+    ).select(
+        "doc_id",
+        "j",
+        # shiftright's pyspark wrapper takes a literal shift; the SQL form
+        # accepts a column
+        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1).alias("s"),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("s").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup at Hamming radius ≤ 3 with 4×8-bit band blocking.
+    Pigeonhole guarantee: ≤3 differing bits across 4 bands leaves ≥1 band
+    identical, so band-bucket candidates have ZERO false negatives — the
+    banded plan provably equals the all-pairs oracle."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tx.tokens(F.col("text"))).alias("toks")
+    )
+    sim = simhash32(toks)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    bd = sim.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= SIMHASH_RADIUS)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup: exact pair scan with fold-deterministic cosine.
+    This is the semantic spec; the bucketed scale path (sign-LSH) is
+    q_ann_lsh_bucketed in similarity.py."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", vx.as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = vx.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= COSINE_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+# DuckDB fragments shared by several oracles
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_GRAMS = f"""
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   generate_series(1, greatest(len({_SQL_TOKS}) - 2, 0)),
+                   i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]
+               )
+           ) AS grams
+    FROM documents
+"""
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH g AS ({_SQL_GRAMS})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {JACCARD_TAU}
+"""
+
+_SQL_CHARHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all({col}, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * {tx.HASH_MULT} + x) % {tx.HASH_P})"
+)
+
+_SQL_SIMHASH = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
+    ), th AS (
+        SELECT doc_id,
+               ({_SQL_CHARHASH.format(col="tok")} * {tx.MIX32}) % {tx.TWO32} AS h
+        FROM tok
+    ), bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, unnest(generate_series(0, 31)) AS t(j)
+        GROUP BY 1, 2
+    ), sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM bits GROUP BY 1
+    )
+"""
+
+_SQL_COSINE_PAIRS = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+                    (acc, x) -> acc + x)) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+                     (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {COSINE_TAU}
+"""
+
+ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        WITH influx AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+        )
+        SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, LENGTH(text) AS text_len
+        FROM influx GROUP BY text
+    """,
+    "q_dedup_ngram_jaccard": _SQL_JACCARD_PAIRS,
+    # MinHash-LSH is verified against the EXACT Jaccard oracle: banding at
+    # this config has miss-probability ~1.5e-15 for the J≥0.9 pairs in the
+    # data, and verification makes precision exact.
+    "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+    "q_dedup_simhash": _SQL_SIMHASH
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+    """,
+    "q_dedup_embedding": _SQL_COSINE_PAIRS,
+}
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+}

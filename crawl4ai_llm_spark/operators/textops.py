@@ -1,0 +1,134 @@
+"""Text-analysis queries: token stats, fingerprints, language-ID, quality.
+
+The operator implementations are the column expressions in
+functions/text.py (pure built-ins, whole-stage codegen); this module binds
+them to the documents table and provides the DuckDB oracles. All arithmetic
+is engine-portable by construction (integer polynomial hashes, single-
+division ratios) — see functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_llm_spark.functions import text as tx
+from crawl4ai_llm_spark.session import load_table
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + document fingerprinting per doc — the map-only
+    pipeline stage (no shuffle at all; scales linearly with input bytes)."""
+    docs = load_table(spark, sf, "documents")
+    toks = tx.tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(total_len.cast("double") / F.size(toks).cast("double"), 4).alias("avg_token_len"),
+        tx.char_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-overlap language heuristic with per-language scores."""
+    docs = load_table(spark, sf, "documents")
+    scores = tx.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+        *[scores[name].cast("long").alias(f"score_{name}") for name in tx.LANG_MARKERS],
+    )
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality scoring + keep/drop decision at 0.8 — the corpus
+    filtering stage of a training-data pipeline."""
+    docs = load_table(spark, sf, "documents")
+    c = tx.quality_components(F.col("text"), F.col("n_chars"))
+    q = tx.quality_score(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        "doc_id",
+        F.round(c["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(c["type_token_ratio"], 6).alias("type_token_ratio"),
+        F.round(c["length_score"], 6).alias("length_score"),
+        F.round(q, 6).alias("quality"),
+        (q >= 0.8).alias("keep"),
+    )
+
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_CHARHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * {tx.HASH_MULT} + x) % {tx.HASH_P})"
+)
+
+
+def _marker_sql(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_intersect(list_distinct({_TOKS}), {arr}))"
+
+
+_SCORE_EXPRS = {name: _marker_sql(m) for name, m in tx.LANG_MARKERS.items()}
+_NAMES = list(tx.LANG_MARKERS)
+# argmax with declaration-order tiebreak, mirroring functions/text.py lang_id
+_PRED = f"""
+    CASE
+      WHEN {_SCORE_EXPRS[_NAMES[1]]} > {_SCORE_EXPRS[_NAMES[0]]}
+           AND {_SCORE_EXPRS[_NAMES[1]]} >= {_SCORE_EXPRS[_NAMES[2]]} THEN '{_NAMES[1]}'
+      WHEN {_SCORE_EXPRS[_NAMES[2]]} > {_SCORE_EXPRS[_NAMES[0]]}
+           AND {_SCORE_EXPRS[_NAMES[2]]} > {_SCORE_EXPRS[_NAMES[1]]} THEN '{_NAMES[2]}'
+      ELSE '{_NAMES[0]}'
+    END
+"""
+
+_STOP_ARR = "[" + ", ".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
+
+ORACLES: dict[str, str] = {
+    "q_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+               ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))),
+                         (acc, x) -> acc + x)::DOUBLE
+                     / len({_TOKS})::DOUBLE, 4) AS avg_token_len,
+               {_CHARHASH} AS fingerprint
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        SELECT doc_id,
+               {_PRED} AS pred_lang,
+               {" , ".join(f"CAST({_SCORE_EXPRS[n]} AS BIGINT) AS score_{n}" for n in _NAMES)}
+        FROM documents
+    """,
+    "q_quality_score": f"""
+        WITH c AS (
+            SELECT doc_id,
+                   len(list_filter({_TOKS}, t -> list_contains({_STOP_ARR}, t)))::DOUBLE
+                       / len({_TOKS})::DOUBLE AS stop_ratio,
+                   len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})::DOUBLE AS type_token_ratio,
+                   LEAST(n_chars::DOUBLE / 500.0, 1.0) AS length_score
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               ROUND(type_token_ratio, 6) AS type_token_ratio,
+               ROUND(length_score, 6) AS length_score,
+               ROUND(0.4 * (1.0 - stop_ratio) + 0.3 * type_token_ratio + 0.3 * length_score, 6) AS quality,
+               (0.4 * (1.0 - stop_ratio) + 0.3 * type_token_ratio + 0.3 * length_score) >= 0.8 AS keep
+        FROM c
+    """,
+}
+
+QUERIES = {
+    "q_token_stats": q_token_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+}
