@@ -1,0 +1,165 @@
+"""Deterministic synthetic web graph — the sandbox stand-in for fetching.
+
+The reference crawler fetches via the external ``crawl4ai``/aiohttp stack
+(requirements.txt:1,5 — not in the snapshot); the sandbox replaces the
+network with a seeded page generator so the crawl is exactly replayable.
+This module is the SINGLE source of truth for page content: the Spark
+engine calls it inside ``mapInPandas`` batches, the pure-Python oracle
+simulator calls it directly — so any ordering/set divergence between them
+is engine logic, never data.
+
+Graph shape (FIXTURES.md §6): ``n_hosts`` hosts with zipf-ish skew — host 0
+alone holds ~30% of all URLs (exercises hot-host salting); out-degree 0-14,
+~80% same-host links; ~5% of (url, attempt) fetches fail (exercises
+retries); robots.txt denies a path prefix on every 5th host and overrides
+crawl_delay on every 3rd.
+
+Everything derives from md5(url) — process-independent, platform-stable
+(never Python's salted ``hash``; that is the reference's own
+reproducibility bug, SURVEY.md §8.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+# URLs are emitted in deliberately NON-canonical form (uppercase host,
+# default port, fragments) so the canonicalizer is a real pipeline stage.
+HOST_FMT = "HOST{h}.Example"
+CANON_HOST_FMT = "host{h}.example"
+
+
+@dataclass(frozen=True)
+class GraphSpec:
+    n_hosts: int = 50
+    pages_per_host: int = 400  # host 0 gets hot_factor× this
+    hot_factor: int = 20  # host 0 holds 20·400/(20·400+49·400) ≈ 29% of URLs
+    max_links: int = 14
+    same_host_bias: float = 0.8
+    fail_rate: float = 0.05
+    seed: str = "webgraph-42"
+
+    def host_pages(self, h: int) -> int:
+        # zipf-ish: host 0 is hot, the rest uniform
+        return self.pages_per_host * (self.hot_factor if h == 0 else 1)
+
+
+def _digest(spec: GraphSpec, *parts: object) -> bytes:
+    key = (spec.seed + "|" + "|".join(str(p) for p in parts)).encode()
+    return hashlib.md5(key).digest()
+
+
+def _rand_int(spec: GraphSpec, mod: int, *parts: object) -> int:
+    return int.from_bytes(_digest(spec, *parts)[:8], "big") % mod
+
+
+def page_url(spec: GraphSpec, h: int, p: int) -> str:
+    """Raw (non-canonical) URL of page p on host h."""
+    port = ":443" if p % 7 == 0 else ""
+    frag = "#frag" if p % 5 == 0 else ""
+    return f"https://{HOST_FMT.format(h=h)}{port}/p/{p}{frag}"
+
+
+def canonical_page_url(h: int, p: int) -> str:
+    return f"https://{CANON_HOST_FMT.format(h=h)}/p/{p}"
+
+
+def parse_canonical(url: str) -> tuple[int, int]:
+    """(host_idx, page_idx) from a canonical URL."""
+    host_part = url.split("//")[1].split("/")[0]
+    h = int(host_part[4:].split(".")[0])
+    p = int(url.rsplit("/", 1)[1])
+    return h, p
+
+
+def seed_urls(spec: GraphSpec, n_seeds: int = 40) -> list[str]:
+    """Seed list: a few pages on a spread of hosts, raw form, fixed order."""
+    seeds = []
+    for i in range(n_seeds):
+        h = _rand_int(spec, spec.n_hosts, "seedhost", i)
+        p = _rand_int(spec, spec.host_pages(h), "seedpage", i)
+        seeds.append(page_url(spec, h, p))
+    return seeds
+
+
+def fetch_ok(spec: GraphSpec, canon_url: str, attempt: int) -> bool:
+    """~fail_rate of (url, attempt) pairs fail — a retry CAN succeed."""
+    r = _rand_int(spec, 10_000, "fail", canon_url, attempt)
+    return r >= int(spec.fail_rate * 10_000)
+
+
+def out_links(spec: GraphSpec, canon_url: str) -> list[str]:
+    """Raw out-links of a page (deterministic, possibly duplicated —
+    dedup is the crawler's job)."""
+    h, p = parse_canonical(canon_url)
+    n = _rand_int(spec, spec.max_links + 1, "deg", canon_url)
+    links = []
+    for i in range(n):
+        same = _rand_int(spec, 100, "same", canon_url, i) < int(spec.same_host_bias * 100)
+        if same:
+            th = h
+        else:
+            th = _rand_int(spec, spec.n_hosts, "xhost", canon_url, i)
+        tp = _rand_int(spec, spec.host_pages(th), "tpage", canon_url, i)
+        links.append(page_url(spec, th, tp))
+    return links
+
+
+# --- interleaved text+media spans (driver input_hint schema) -----------------
+
+_KINDS = ["image", "video", "link"]
+_WORDS = [
+    "crawl", "frontier", "page", "spark", "wave", "host", "fetch", "span",
+    "media", "token", "budget", "queue", "depth", "score", "robots", "shard",
+]
+
+
+def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
+    """Interleaved spans: alternating text and media, offsets strictly
+    ascending; text non-null iff kind == 'text' (FIXTURES.md §5)."""
+    n_spans = 1 + _rand_int(spec, 8, "nspans", canon_url)
+    spans = []
+    offset = 0
+    for i in range(n_spans):
+        is_text = i % 2 == 0 or _rand_int(spec, 100, "istext", canon_url, i) < 50
+        if is_text:
+            n_words = 3 + _rand_int(spec, 10, "nw", canon_url, i)
+            words = [
+                _WORDS[_rand_int(spec, len(_WORDS), "w", canon_url, i, j)]
+                for j in range(n_words)
+            ]
+            txt = " ".join(words)
+            spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": offset})
+            offset += len(txt) + 1
+        else:
+            kind = _KINDS[_rand_int(spec, len(_KINDS), "mk", canon_url, i)]
+            ref = f"{kind}://asset/{_rand_int(spec, 10**9, 'mr', canon_url, i)}"
+            spans.append({"kind": kind, "text": None, "media_ref": ref, "offset": offset})
+            offset += 32
+    return spans
+
+
+# --- robots rules -------------------------------------------------------------
+
+
+def robots_rules(spec: GraphSpec) -> list[dict]:
+    """host → deny prefixes + crawl_delay. Every 5th host denies /p/1* — a
+    REAL bite out of the graph; every 3rd host slows the crawler down."""
+    rules = []
+    for h in range(spec.n_hosts):
+        deny = ["/p/1"] if h % 5 == 0 else []
+        delay = 2.0 if h % 3 == 0 else None  # None ⇒ crawler default
+        rules.append(
+            {"host": CANON_HOST_FMT.format(h=h), "deny_prefixes": deny, "crawl_delay": delay}
+        )
+    return rules
+
+
+def robots_allows(rules_by_host: dict[str, list[str]], canon_url: str) -> bool:
+    host = canon_url.split("//")[1].split("/")[0]
+    path = "/" + canon_url.split("//")[1].split("/", 1)[1] if "/" in canon_url.split("//")[1] else "/"
+    for prefix in rules_by_host.get(host, []):
+        if path.startswith(prefix):
+            return False
+    return True
