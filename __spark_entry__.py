@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from crawl4ai_llm_spark import queries as q  # noqa: E402
-from crawl4ai_llm_spark.operators import dedup, similarity, textops  # noqa: E402
+from crawl4ai_llm_spark.operators import dedup, similarity, spans, textops  # noqa: E402
 
-_MODULES = [q, textops, dedup, similarity]
+_MODULES = [q, textops, dedup, similarity, spans]
 
 
 def entry(spark: SparkSession) -> DataFrame:

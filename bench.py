@@ -1,0 +1,108 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus a frontier crawl throughput measurement
+(the north-star metric: URLs scheduled+fetched per second).
+
+Output: {"metric": ..., "value": <total query seconds>, "unit": "sec",
+         "queries": {...per-query seconds...}, "sf": ...,
+         "crawl_urls_per_sec": ..., "cpus": ...}
+
+Scaling evidence (north rule: N→4N efficiency ≥ 0.8) is produced by
+tools/bench_scaling.py, which runs the same crawl at local[8] and
+local[32] in separate processes and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawl4ai_llm_spark import queries as q
+from crawl4ai_llm_spark.operators import dedup, similarity, textops
+from crawl4ai_llm_spark.session import default_parallelism, get_spark
+
+HEADLINE = [
+    ("q_list_page", q.q_list_page),
+    ("q_agg_pricing", q.q_agg_pricing),
+    ("q_join_revenue_topn", q.q_join_revenue_topn),
+    ("q_join_region_revenue", q.q_join_region_revenue),
+    ("q_topk_per_group", q.q_topk_per_group),
+    ("q_events_hourly", q.q_events_hourly),
+    ("q_sessionize", q.q_sessionize),
+    ("q_token_stats", textops.q_token_stats),
+    ("q_quality_score", textops.q_quality_score),
+    ("q_dedup_exact", dedup.q_dedup_exact),
+    ("q_dedup_minhash_lsh", dedup.q_dedup_minhash_lsh),
+    ("q_dedup_simhash", dedup.q_dedup_simhash),
+    ("q_ann_topk", similarity.q_ann_topk),
+]
+
+
+def crawl_throughput(spark, tmpdir: str) -> tuple[float, int]:
+    """Frontier crawl on a mid-size seeded graph; returns (urls/s, urls)."""
+    from crawl4ai_llm_spark.frontier import webgraph as wg
+    from crawl4ai_llm_spark.frontier.engine import CrawlConfig, FrontierEngine
+
+    # fat waves: measure steady-state scheduling+fetch throughput, not
+    # per-wave job-scheduling latency (politeness correctness is covered by
+    # the parity tests; at 10^10 URLs a wave holds millions of URLs and the
+    # fixed per-wave cost amortizes to zero)
+    spec = wg.GraphSpec(
+        n_hosts=300, pages_per_host=700, hot_factor=30, max_links=12, seed="bench-42"
+    )
+    cfg = CrawlConfig(wave_seconds=3600.0, max_depth=5, max_waves=8, graph=spec)
+    eng = FrontierEngine(spark, tmpdir, cfg)
+    t0 = time.time()
+    eng.run(seeds=wg.seed_urls(spec, n_seeds=1000))
+    dt = time.time() - t0
+    n = eng.schedule.read().count()
+    return n / dt, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = default_parallelism()
+    spark = get_spark(app_name="bench")
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in HEADLINE:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full evaluation without driver-side row transfer
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ups, n_urls = crawl_throughput(spark, tmp)
+    print(f"# crawl: {n_urls} urls @ {ups:.0f}/s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time at sf + frontier crawl throughput",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "crawl_urls_per_sec": round(ups, 1),
+                "crawl_urls": n_urls,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,10 +37,16 @@ class Snapshot:
 
 
 class Table:
-    """One snapshot-committed table rooted at ``root``."""
+    """One snapshot-committed table rooted at ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``merge_schema`` turns on parquet footer merging at read time — needed
+    only for schema-on-read tables (ProductStore); fixed-schema engine
+    tables skip it (footer scans grow with the file count otherwise).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, merge_schema: bool = False):
         self.spark = spark
+        self.merge_schema = merge_schema
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "meta")
@@ -110,6 +116,44 @@ class Table:
     def _next_id(self, parent: Snapshot | None) -> int:
         return (parent.snapshot_id + 1) if parent else 1
 
+    def _write_pylist(self, rows: list[dict]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "part-0.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        return path
+
+    def append_pylist(
+        self, rows: list[dict], counters: dict[str, int] | None = None
+    ) -> Snapshot:
+        """Append a small driver-side row list WITHOUT a Spark job — one
+        pyarrow parquet write. For metadata-sized tables (checkpoints):
+        launching a distributed job to write 16 rows is pure latency."""
+        path = self._write_pylist(rows)
+        parent = self.current_snapshot()
+        snap = Snapshot(
+            self._next_id(parent),
+            (parent.files if parent else []) + [path],
+            counters or {},
+            parent.snapshot_id if parent else None,
+        )
+        self._publish(snap)
+        return snap
+
+    def overwrite_pylist(
+        self, rows: list[dict], counters: dict[str, int] | None = None
+    ) -> Snapshot:
+        path = self._write_pylist(rows)
+        parent = self.current_snapshot()
+        snap = Snapshot(
+            self._next_id(parent), [path], counters or {}, parent.snapshot_id if parent else None
+        )
+        self._publish(snap)
+        return snap
+
     def append(self, df: DataFrame, counters: dict[str, int] | None = None) -> Snapshot:
         parent = self.current_snapshot()
         files = self._write_files(df)
@@ -152,9 +196,12 @@ class Table:
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         if snap is None or not snap.files:
             return None
-        # mergeSchema: appended batches may carry new columns (schema-on-read
-        # parity with the reference, SURVEY.md §1.1)
-        return self.spark.read.option("mergeSchema", "true").parquet(*snap.files)
+        reader = self.spark.read
+        if self.merge_schema:
+            # appended batches may carry new columns (schema-on-read parity
+            # with the reference, SURVEY.md §1.1)
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap.files)
 
     def is_empty(self) -> bool:
         snap = self.current_snapshot()
@@ -169,8 +216,8 @@ class Catalog:
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
 
-    def table(self, name: str) -> Table:
-        return Table(self.spark, os.path.join(self.warehouse, name))
+    def table(self, name: str, merge_schema: bool = False) -> Table:
+        return Table(self.spark, os.path.join(self.warehouse, name), merge_schema)
 
     def drop(self, name: str) -> None:
         import shutil

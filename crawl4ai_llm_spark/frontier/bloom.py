@@ -60,12 +60,16 @@ def build_blooms(seen: DataFrame, n_buckets: int = 64) -> dict[int, bytes]:
     return {r["bucket"]: bytes(r["bloom"]) for r in rows}
 
 
-def probe_expr(df: DataFrame, blooms: dict[int, bytes], n_buckets: int = 64) -> DataFrame:
-    """Adds ``maybe_seen``: False ⇒ provably new (skip the exact tier)."""
+def probe_expr(df: DataFrame, blooms: dict[int, bytes], n_buckets: int = 64):
+    """Adds ``maybe_seen``: False ⇒ provably new (skip the exact tier).
+
+    Ships the PACKED bitmaps (m/8 bytes each) via broadcast — unpacking
+    happens worker-side per batch, so per-task deserialization stays ~1 MB
+    regardless of core count. Returns (df, broadcast) so the caller can
+    destroy the broadcast once the wave is committed.
+    """
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        {b: np.unpackbits(np.frombuffer(bm, dtype=np.uint8)).astype(bool) for b, bm in blooms.items()}
-    )
+    bc = spark.sparkContext.broadcast(blooms)
 
     @F.pandas_udf("boolean")
     def might_contain(url_hash: pd.Series) -> pd.Series:
@@ -75,11 +79,12 @@ def probe_expr(df: DataFrame, blooms: dict[int, bytes], n_buckets: int = 64) -> 
         pos = _positions(h)
         table = bc.value
         for b in np.unique(buckets):
-            bits = table.get(int(b))
-            if bits is None:
+            bm = table.get(int(b))
+            if bm is None:
                 continue  # empty bucket: nothing seen there
+            bits = np.unpackbits(np.frombuffer(bm, dtype=np.uint8))
             m = buckets == b
             out[m] = bits[pos[m].astype(np.int64)].all(axis=1)
         return pd.Series(out)
 
-    return df.withColumn("maybe_seen", might_contain(F.col("url_hash")))
+    return df.withColumn("maybe_seen", might_contain(F.col("url_hash"))), bc

