@@ -358,6 +358,7 @@ class FrontierEngine:
             # canonicalize→probe chain
             probed = probed.cache()
             probed.count()
+            mark("probed_count")
             definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             candidates = probed.where(F.col("maybe_seen")).drop("maybe_seen")
             # exact verification tier (C4): only Bloom-positive candidates
@@ -389,7 +390,7 @@ class FrontierEngine:
         k = cfg.commit_partitions or self.spark.sparkContext.defaultParallelism
         wave_tag = {"wave": wave}
         new_links.count()  # materialize the discovery cache once, full width
-        mark("discovery_materialize")
+        mark("new_links_count")
 
         from concurrent.futures import ThreadPoolExecutor
 

@@ -89,19 +89,32 @@ def fetch_ok(spec: GraphSpec, canon_url: str, attempt: int) -> bool:
     return r >= int(spec.fail_rate * 10_000)
 
 
+def _stream_words(spec: GraphSpec, key: str, n_words: int) -> list[int]:
+    """n 32-bit values from an md5 counter stream — ONE digest per four
+    values (the per-value-digest version dominated fetch CPU at scale)."""
+    out: list[int] = []
+    ctr = 0
+    base = (spec.seed + "|" + key).encode()
+    while len(out) < n_words:
+        d = hashlib.md5(base + b"|" + str(ctr).encode()).digest()
+        out.extend(int.from_bytes(d[j : j + 4], "big") for j in (0, 4, 8, 12))
+        ctr += 1
+    return out[:n_words]
+
+
 def out_links(spec: GraphSpec, canon_url: str) -> list[str]:
     """Raw out-links of a page (deterministic, possibly duplicated —
     dedup is the crawler's job)."""
     h, p = parse_canonical(canon_url)
     n = _rand_int(spec, spec.max_links + 1, "deg", canon_url)
+    if n == 0:
+        return []
+    ws = _stream_words(spec, "links|" + canon_url, 3 * n)
     links = []
     for i in range(n):
-        same = _rand_int(spec, 100, "same", canon_url, i) < int(spec.same_host_bias * 100)
-        if same:
-            th = h
-        else:
-            th = _rand_int(spec, spec.n_hosts, "xhost", canon_url, i)
-        tp = _rand_int(spec, spec.host_pages(th), "tpage", canon_url, i)
+        same = ws[3 * i] % 100 < int(spec.same_host_bias * 100)
+        th = h if same else ws[3 * i + 1] % spec.n_hosts
+        tp = ws[3 * i + 2] % spec.host_pages(th)
         links.append(page_url(spec, th, tp))
     return links
 
@@ -119,22 +132,20 @@ def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
     """Interleaved spans: alternating text and media, offsets strictly
     ascending; text non-null iff kind == 'text' (FIXTURES.md §5)."""
     n_spans = 1 + _rand_int(spec, 8, "nspans", canon_url)
+    # one md5 counter stream feeds every decision for this page
+    ws = iter(_stream_words(spec, "spans|" + canon_url, 16 * n_spans))
     spans = []
     offset = 0
     for i in range(n_spans):
-        is_text = i % 2 == 0 or _rand_int(spec, 100, "istext", canon_url, i) < 50
+        is_text = i % 2 == 0 or next(ws) % 100 < 50
         if is_text:
-            n_words = 3 + _rand_int(spec, 10, "nw", canon_url, i)
-            words = [
-                _WORDS[_rand_int(spec, len(_WORDS), "w", canon_url, i, j)]
-                for j in range(n_words)
-            ]
-            txt = " ".join(words)
+            n_words = 3 + next(ws) % 10
+            txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(n_words))
             spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": offset})
             offset += len(txt) + 1
         else:
-            kind = _KINDS[_rand_int(spec, len(_KINDS), "mk", canon_url, i)]
-            ref = f"{kind}://asset/{_rand_int(spec, 10**9, 'mr', canon_url, i)}"
+            kind = _KINDS[next(ws) % len(_KINDS)]
+            ref = f"{kind}://asset/{next(ws) % 10**9}"
             spans.append({"kind": kind, "text": None, "media_ref": ref, "offset": offset})
             offset += 32
     return spans

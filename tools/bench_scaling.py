@@ -56,7 +56,7 @@ else:
 cfg = CrawlConfig(wave_seconds=36000.0, max_depth=5, max_waves=max_waves,
                   bloom_buckets=buckets, graph=spec,
                   fetch_latency_ms=0.0 if quick else 80.0,
-                  async_concurrency=32)
+                  async_concurrency=24)
 with tempfile.TemporaryDirectory() as tmp:
     eng = FrontierEngine(spark, tmp, cfg)
     eng.init_seeds(wg.seed_urls(spec, n_seeds=n_seeds))
@@ -103,7 +103,11 @@ def main() -> None:
     0.86."""
     quick = "--quick" in sys.argv
     r8 = run_level(4, quick)
-    print("local[4]: ", r8)
+    print("local[4]: ", r8, flush=True)
+    if not quick:
+        import time
+
+        time.sleep(90)  # let clocks/thermals settle between levels
     r32 = run_level(16, quick)
     print("local[16]:", r32)
     eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
