@@ -47,6 +47,7 @@ from pyspark.sql.window import Window
 
 from crawl4ai_llm_spark.catalog import Catalog
 from crawl4ai_llm_spark.frontier import bloom as bloom_mod
+from crawl4ai_llm_spark.frontier import cuckoo as cuckoo_mod
 from crawl4ai_llm_spark.frontier import webgraph as wg
 from crawl4ai_llm_spark.functions.urls import canonicalize_url, host_of, url_hash
 from crawl4ai_llm_spark.schemas import SPAN_TYPE
@@ -76,7 +77,11 @@ class CrawlConfig:
     max_depth: int = 5
     max_waves: int = 1000
     n_salts: int = 8
-    use_bloom: bool = True
+    # probabilistic seen-set tier ahead of the exact anti-join:
+    # "bloom" (C3, incremental bitmap OR), "cuckoo" (C4's deletable
+    # variant — supports evict-for-recrawl), or "exact" (anti-join only)
+    seen_filter: str = "bloom"
+    use_bloom: bool = True  # back-compat alias; False ⇒ "exact"
     bloom_buckets: int = 64
     # synthetic per-page parse cost (hash rounds) standing in for the CPU
     # work of real fetch+parse — 0 in parity tests; the scaling benchmark
@@ -99,6 +104,8 @@ class CrawlConfig:
     def __post_init__(self):
         if self.graph is None:
             self.graph = wg.GraphSpec()
+        if not self.use_bloom and self.seen_filter == "bloom":
+            self.seen_filter = "exact"
 
 
 def score_expr(hash_col) -> F.Column:
@@ -122,6 +129,8 @@ class FrontierEngine:
         # is equivalent to rebuilding from the seen table (bitmap union is
         # distributive) and keeps the per-wave cost ∝ new URLs, not |seen|
         self._blooms: dict[int, bytes] | None = None
+        # cuckoo tier (deletable) — bucket→packed table
+        self._cuckoo: dict[int, bytes] | None = None
 
     # ------------------------------------------------------------------ setup
 
@@ -349,10 +358,21 @@ class FrontierEngine:
         seen_df = self.seen.read()
         bloom_bc = None
         probed = None
-        if cfg.use_bloom and seen_df is not None:
-            if self._blooms is None:  # fresh engine / post-resume: one full build
-                self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
-            probed, bloom_bc = bloom_mod.probe_expr(discovered, self._blooms, cfg.bloom_buckets)
+        if cfg.seen_filter in ("bloom", "cuckoo") and seen_df is not None:
+            if cfg.seen_filter == "bloom":
+                if self._blooms is None:  # fresh engine / post-resume: full build
+                    self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
+                probed, bloom_bc = bloom_mod.probe_expr(
+                    discovered, self._blooms, cfg.bloom_buckets
+                )
+            else:
+                if self._cuckoo is None:  # fresh engine / post-resume: full build
+                    self._cuckoo = cuckoo_mod.update_filters(
+                        seen_df.select("url_hash"), None, cfg.bloom_buckets
+                    )
+                probed, bloom_bc = cuckoo_mod.probe_expr(
+                    discovered, self._cuckoo, cfg.bloom_buckets
+                )
             # cache AND materialize: the two branches below would otherwise
             # race the unpopulated cache and duplicate the whole
             # canonicalize→probe chain
@@ -425,8 +445,12 @@ class FrontierEngine:
             for f in futures:
                 f.result()
         mark("table_commits")
-        if cfg.use_bloom and self._blooms is not None:
+        if cfg.seen_filter == "bloom" and self._blooms is not None:
             self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
+        elif cfg.seen_filter == "cuckoo" and self._cuckoo is not None:
+            self._cuckoo = cuckoo_mod.update_filters(
+                new_links, self._cuckoo, cfg.bloom_buckets
+            )
         mark("bloom_delta")
         # checkpoint LAST, written driver-side (16 rows don't need a job)
         self.checkpoints.append_pylist(
@@ -447,6 +471,62 @@ class FrontierEngine:
             bloom_bc.destroy()
         return stats
 
+    def _canon_rows(self, urls: list[str], depth: int = 0) -> DataFrame:
+        urls_df = self.spark.createDataFrame([(u,) for u in urls], ["url"])
+        canon = urls_df.select(canonicalize_url(F.col("url")).alias("url")).where(
+            F.col("url").isNotNull()
+        )
+        return self._robots_allowed(
+            self._with_frontier_cols(canon.distinct().withColumn("depth", F.lit(depth)))
+        )
+
+    def evict_from_seen(self, urls: list[str]) -> int:
+        """Forget URLs (the recrawl path): remove from the seen table and
+        DELETE their fingerprints from the cuckoo tier — the operation a
+        Bloom filter cannot express (with seen_filter="bloom" the bitmap is
+        rebuilt from the remaining seen table instead). The next organic
+        discovery of these URLs re-enqueues them."""
+        wave = self.last_committed_wave()
+        rows = self._canon_rows(urls).cache()
+        n = rows.count()
+        seen_df = self.seen.read()
+        if seen_df is not None:
+            remaining = seen_df.join(rows.select("url"), "url", "left_anti")
+            self.seen.overwrite(remaining, counters={"wave": wave})
+        if self.config.seen_filter == "cuckoo" and self._cuckoo is not None:
+            self._cuckoo = cuckoo_mod.update_filters(
+                rows.select("url_hash"), self._cuckoo, self.config.bloom_buckets, delete=True
+            )
+        elif self.config.seen_filter == "bloom":
+            self._blooms = None  # bloom can't delete — rebuild lazily from seen
+        rows.unpersist()
+        return n
+
+    def enqueue(self, urls: list[str], depth: int = 0) -> int:
+        """Add URLs to the frontier mid-crawl (dedup'd against seen) —
+        late seeding or explicit recrawl after evict_from_seen."""
+        wave = self.last_committed_wave()
+        rows = self._canon_rows(urls, depth)
+        seen_df = self.seen.read()
+        if seen_df is not None:
+            rows = rows.join(seen_df.select("url"), "url", "left_anti")
+        rows = rows.cache()
+        n = rows.count()
+        pending = self.frontier.read()
+        merged = rows if pending is None else pending.unionByName(rows)
+        self.frontier.overwrite(merged, counters={"wave": wave})
+        self.seen.append(
+            rows.select("url_hash", "url", F.lit(wave).alias("wave")), counters={"wave": wave}
+        )
+        if self.config.seen_filter == "cuckoo" and self._cuckoo is not None:
+            self._cuckoo = cuckoo_mod.update_filters(
+                rows.select("url_hash"), self._cuckoo, self.config.bloom_buckets
+            )
+        elif self.config.seen_filter == "bloom" and self._blooms is not None:
+            self._bloom_or(bloom_mod.build_blooms(rows, self.config.bloom_buckets))
+        rows.unpersist()
+        return n
+
     # ------------------------------------------------------------------ drive
 
     def last_committed_wave(self) -> int:
@@ -461,6 +541,7 @@ class FrontierEngine:
         tag were written by a killed, uncommitted wave — rewind them."""
         committed = self.last_committed_wave()
         self._blooms = None  # rebuild from the (possibly rolled-back) seen table
+        self._cuckoo = None
         if committed < 0:
             return -1
         for tbl in (self.docs, self.seen, self.schedule, self.frontier):

@@ -1,0 +1,112 @@
+"""Cuckoo-filter tier: insert/delete/probe invariants + engine parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_llm_spark.frontier import cuckoo as ck
+from crawl4ai_llm_spark.frontier import webgraph as wg
+from crawl4ai_llm_spark.frontier.engine import CrawlConfig, FrontierEngine
+
+from tests.oracle_crawler import simulate
+
+
+def test_cuckoo_core_invariants():
+    cf = ck.CuckooFilter()
+    keys = (np.arange(20000, dtype=np.int64) * 2654435761) - 10**12
+    assert cf.insert(keys) == 0  # no overflow at this load factor
+    assert cf.contains(keys).all()  # zero false negatives
+    fresh = keys + 1
+    fp_rate = cf.contains(fresh).mean()
+    assert fp_rate < 0.01, f"false-positive rate {fp_rate}"
+    # deletion actually removes
+    assert cf.delete(keys[:5000]) == 5000
+    assert not cf.contains(keys[:5000]).any() or cf.contains(keys[:5000]).mean() < 0.01
+    assert cf.contains(keys[5000:]).all()  # others untouched
+    # serialization roundtrip
+    cf2 = ck.CuckooFilter.from_bytes(cf.to_bytes())
+    assert (cf2.contains(keys[5000:])).all()
+
+
+def test_distributed_update_and_probe(spark):
+    seen = spark.range(0, 8000).select((F.col("id") * 7919 - 4000).alias("url_hash"))
+    filters = ck.update_filters(seen, None, n_partitions=8)
+    probed, bc = ck.probe_expr(seen, filters, n_partitions=8)
+    assert probed.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+    bc.destroy()
+    # incremental delta insert
+    delta = spark.range(8000, 9000).select((F.col("id") * 7919 - 4000).alias("url_hash"))
+    filters2 = ck.update_filters(delta, filters, n_partitions=8)
+    probed2, bc2 = ck.probe_expr(delta, filters2, n_partitions=8)
+    assert probed2.where(~F.col("maybe_seen")).count() == 0
+    bc2.destroy()
+    # distributed delete
+    filters3 = ck.update_filters(delta, filters2, n_partitions=8, delete=True)
+    probed3, bc3 = ck.probe_expr(delta, filters3, n_partitions=8)
+    assert probed3.where(F.col("maybe_seen")).count() < 20  # only fp remain
+    bc3.destroy()
+
+
+SPEC = wg.GraphSpec(n_hosts=8, pages_per_host=25, hot_factor=5, max_links=8, seed="ck-42")
+SEEDS = wg.seed_urls(SPEC, n_seeds=10)
+CFG = dict(delay=1.0, wave_seconds=16.0, max_retries=3, max_depth=3, max_waves=40)
+
+
+def test_cuckoo_engine_matches_oracle(spark, tmp_path):
+    oracle = simulate(SPEC, SEEDS, **CFG)
+    eng = FrontierEngine(
+        spark,
+        str(tmp_path / "ck_wh"),
+        CrawlConfig(
+            delay=CFG["delay"],
+            wave_seconds=CFG["wave_seconds"],
+            max_retries=CFG["max_retries"],
+            max_depth=CFG["max_depth"],
+            max_waves=CFG["max_waves"],
+            seen_filter="cuckoo",
+            bloom_buckets=8,
+            graph=SPEC,
+        ),
+    )
+    eng.run(seeds=SEEDS)
+    got = {r["url"] for r in eng.seen.read().select("url").collect()}
+    assert got == oracle.seen
+    waves = {
+        r["url"]: r["wave"]
+        for r in eng.schedule.read().groupBy("url").agg(F.min("wave").alias("wave")).collect()
+    }
+    assert waves == oracle.wave_of
+
+
+def test_evict_and_recrawl(spark, tmp_path):
+    eng = FrontierEngine(
+        spark,
+        str(tmp_path / "ev_wh"),
+        CrawlConfig(
+            wave_seconds=16.0,
+            max_depth=3,
+            max_waves=40,
+            seen_filter="cuckoo",
+            bloom_buckets=8,
+            graph=SPEC,
+        ),
+    )
+    eng.run(seeds=SEEDS)
+    fetched = [r["doc_id"] for r in eng.docs.read().select("doc_id").limit(3).collect()]
+    n_docs_before = eng.docs.read().count()
+
+    assert eng.evict_from_seen(fetched) == len(fetched)
+    seen_urls = {r["url"] for r in eng.seen.read().select("url").collect()}
+    assert not (set(fetched) & seen_urls)
+
+    assert eng.enqueue(fetched) == len(fetched)
+    last = eng.last_committed_wave()
+    eng.run_wave(last + 1)
+    sched = {
+        r["url"]
+        for r in eng.schedule.read().where(F.col("wave") == last + 1).select("url").collect()
+    }
+    assert set(fetched) <= sched  # recrawled exactly the evicted urls
+    assert eng.docs.read().count() >= n_docs_before  # re-fetched docs appended
