@@ -261,7 +261,93 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation (status × priority hierarchy) — subtotal rows are
+    computed in the same shuffle via grouping-set expansion."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS / semi-join: customers with at least 2 orders in 1995."""
+    orders = load_table(spark, sf, "orders")
+    hot = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_1995"))
+        .where(F.col("n_1995") >= 2)
+    )
+    cust = load_table(spark, sf, "customer")
+    return cust.join(hot, cust.c_custkey == hot.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS / anti-join: parts never ordered in bulk (quantity ≥ 45) —
+    the frontier-minus-seen shape on the analytics schema. The quantity
+    filter pushes to the lineitem scan before the anti-join builds."""
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem").where(F.col("l_quantity") >= 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per status (sort-based
+    exact aggregation; at 100 TB the approx_percentile sketch replaces it —
+    this is the exactness baseline)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_rollup_orders": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q_exists_subquery": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND YEAR(o_orderdate) = 1995
+            GROUP BY o_custkey HAVING COUNT(*) >= 2
+        )
+    """,
+    "q_anti_join": """
+        SELECT p_partkey, p_brand FROM part
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_quantity >= 45
+        )
+    """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.95), 4) AS p95,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q_list_page": """
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE lang = 'en'
@@ -389,5 +475,9 @@ QUERIES = {
         ("q_events_hourly", q_events_hourly),
         ("q_sessionize", q_sessionize),
         ("q_events_json", q_events_json),
+        ("q_rollup_orders", q_rollup_orders),
+        ("q_exists_subquery", q_exists_subquery),
+        ("q_anti_join", q_anti_join),
+        ("q_percentiles", q_percentiles),
     ]
 }
