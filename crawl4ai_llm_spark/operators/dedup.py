@@ -63,11 +63,39 @@ def word_ngrams(toks, n: int = 3):
     )
 
 
+_grams3_udf = None
+
+
+def word_ngrams_fast(col, n: int = 3):
+    """Distinct word n-grams via a vectorized pandas UDF. The pure-expression
+    version (word_ngrams) stays the semantic spec, but Catalyst evaluates
+    higher-order lambdas interpreted per element — measured ~10× slower than
+    one Arrow batch of Python string ops for this shape."""
+    global _grams3_udf
+    if _grams3_udf is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def build(texts):  # pd.Series -> pd.Series (annotations would be
+            # stringified by `from __future__ import annotations` and break
+            # pandas_udf signature inspection)
+            out = []
+            for t in texts:
+                toks = [w for w in (t or "").split(" ") if w]
+                out.append(
+                    sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                    if len(toks) >= n
+                    else []
+                )
+            return pd.Series(out)
+
+        _grams3_udf = pandas_udf(build, "array<string>")
+    return _grams3_udf(col)
+
+
 def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return docs.select(
-        "doc_id", word_ngrams(tx.tokens(F.col("text"))).alias("grams")
-    )
+    return docs.select("doc_id", word_ngrams_fast(F.col("text")).alias("grams"))
 
 
 def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None = None) -> DataFrame:
