@@ -8,6 +8,50 @@ from pyspark.sql import functions as F
 from crawl4ai_llm_spark.streaming import events as se
 
 
+def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Sessions CLOSED by the stateful operator must equal the batch
+    sessionization minus each user's final (still-open) session."""
+    import os
+
+    from crawl4ai_llm_spark.streaming import sessions as ss
+
+    events_dir = str(tmp_path / "ev_stream")
+    os.makedirs(events_dir)
+    os.symlink(f"{sf_dir}/events.parquet", f"{events_dir}/part-0.parquet")
+    stream = se.read_events_stream(spark, events_dir)
+    rows = ss.run_stream_append(ss.session_updates(stream), str(tmp_path / "ckpt2"))
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rows}
+
+    # batch truth: sessions per user, excluding the last (unclosed) one
+    import itertools
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").cast("long").alias("epoch"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r["epoch"])
+    want = set()
+    for uid, ts_list in by_user.items():
+        ts_list.sort()
+        sessions = []
+        start = last = ts_list[0]
+        n = 1
+        for t in ts_list[1:]:
+            if t - last > ss.SESSION_GAP_S:
+                sessions.append((uid, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        want.update(sessions)  # final open session NOT emitted by the stream
+    assert got == want
+    assert len(got) > 0
+
+
 def test_hourly_stream_equals_batch(spark, sf_dir, tmp_path):
     import os
 
