@@ -163,7 +163,7 @@ class ProductStore:
         normalized = [{k: r.get(k) for k in keys} for r in rows]
         return self.spark.createDataFrame(normalized)
 
-    def _ensure_id_and_stamps(self, df: DataFrame, next_seq: int) -> DataFrame:
+    def _ensure_id_and_stamps(self, df: DataFrame, next_seq: int, bulk: bool = False) -> DataFrame:
         """E1 id hierarchy + E4 timestamps + save-order sequence.
 
         id precedence (verified ref behavior, json_storage.py:61-90):
@@ -195,9 +195,14 @@ class ProductStore:
             "metadata",
             F.struct(now.alias("created_at"), now.alias("updated_at")),
         )
-        out = out.withColumn(
-            "_seq", F.lit(next_seq) + F.row_number().over(self._save_order_window()) - 1
-        )
+        if bulk:
+            # bulk tier: no meaningful insertion order — a partition-embedded
+            # monotonic id avoids the single-partition ranking window
+            out = out.withColumn("_seq", F.lit(next_seq) + F.monotonically_increasing_id())
+        else:
+            out = out.withColumn(
+                "_seq", F.lit(next_seq) + F.row_number().over(self._save_order_window()) - 1
+            )
         return out
 
     @staticmethod
@@ -215,6 +220,35 @@ class ProductStore:
     def save_product(self, product: dict[str, Any]) -> str:
         """D1 — single insert; raises DuplicateProductError on id collision."""
         return self.save_products([product])[0]
+
+    def save_products_df(self, batch: DataFrame) -> int:
+        """D2, bulk tier — ingest a DataFrame without any driver-side row
+        materialization. Same duplicate semantics as save_products (both
+        intra-batch and vs-existing rejected with sample ids), but checks
+        run as distributed counts and the ids never leave the executors —
+        this is the path that ingests millions of records per commit.
+        Returns the number of rows written."""
+        batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
+        try:
+            intra = (
+                batch.groupBy("id").count().where(F.col("count") > 1).select("id")
+            )
+            intra_sample = [r["id"] for r in intra.limit(20).collect()]
+            if intra_sample:
+                raise DuplicateProductError(sorted(intra_sample))
+            existing = self._df()
+            if existing is not None:
+                dups = existing.select("id").join(batch.select("id"), "id", "left_semi")
+                dup_sample = [r["id"] for r in dups.limit(20).collect()]
+                if dup_sample:
+                    raise DuplicateProductError(sorted(dup_sample))
+            n, max_seq = batch.agg(
+                F.count("*").alias("n"), F.max("_seq").alias("m")
+            ).collect()[0]
+            self.table.append(batch, counters={"max_seq": int(max_seq)})
+            return n
+        finally:
+            batch.unpersist()
 
     def save_products(self, products: list[dict[str, Any]]) -> list[str]:
         """D2 — batch insert, one atomic commit.

@@ -237,6 +237,30 @@ def test_list_type_mismatched_filter_matches_nothing(store):
     assert store.list_products(filters={"title": True}).total == 0
 
 
+def test_save_products_df_bulk(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    st = ProductStore(spark, str(tmp_path / "bulk"))
+    df = spark.range(1000).select(
+        F.concat(F.lit("K"), F.col("id").cast("string")).alias("sku"),
+        F.lit("S").alias("store_name"),
+        F.lit("t").alias("title"),
+    )
+    assert st.save_products_df(df) == 1000
+    assert st.get_product("S_K500")["title"] == "t"
+    with pytest.raises(DuplicateProductError):  # vs-existing
+        st.save_products_df(df.limit(5))
+    with pytest.raises(DuplicateProductError):  # intra-batch
+        st.save_products_df(
+            spark.createDataFrame(
+                [("X", "S2", "t"), ("X", "S2", "t")], "sku string, store_name string, title string"
+            )
+        )
+    assert st.list_products().total == 1000  # failed batches left nothing
+
+
 def test_compat_mode_restricts_filter_surface(spark, tmp_path):
     from crawl4ai_llm_spark.storage import ProductStore
 
