@@ -178,6 +178,21 @@ class Table:
         self._publish(snap)
         return snap
 
+    def compact(self, target_partitions: int = 8, counters: dict[str, int] | None = None) -> Snapshot | None:
+        """Rewrite the live file set into ``target_partitions`` files — the
+        maintenance commit a long crawl runs every K waves (append-only
+        tables otherwise accumulate cores×waves files, and every reader
+        pays the footer scans). Same data, new snapshot; old snapshots
+        still reference the old files (rollback still works)."""
+        current = self.read()
+        if current is None:
+            return None
+        snap = self.current_snapshot()
+        return self.overwrite(
+            current.coalesce(target_partitions),
+            counters=counters or (snap.counters if snap else {}),
+        )
+
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Reset HEAD to an earlier snapshot (Iceberg rollback analog).
 

@@ -554,6 +554,14 @@ class FrontierEngine:
                     break
         return committed
 
+    def compact_tables(self, target_partitions: int | None = None) -> None:
+        """Maintenance: rewrite the append-only tables to a bounded file
+        count (run between waves every K waves on long crawls)."""
+        k = target_partitions or self.spark.sparkContext.defaultParallelism
+        wave_tag = {"wave": self.last_committed_wave()}
+        for tbl in (self.seen, self.docs, self.schedule):
+            tbl.compact(k, counters=wave_tag)
+
     def run(self, seeds: list[str] | None = None, max_waves: int | None = None) -> int:
         """Crawl to frontier exhaustion (or the wave cap). Returns the number
         of waves executed."""

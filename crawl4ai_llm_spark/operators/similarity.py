@@ -136,6 +136,67 @@ def topk_pandas(spark: SparkSession, sf: str, n_queries: int = N_QUERIES, k: int
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    sf: str,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids (pyspark.ml KMeans, fixed
+    seed): corpus vectors are assigned to their nearest centroid once; a
+    query searches only its ``n_probe`` nearest cells. This is the
+    10^9-vector plan: the centroid table broadcasts, the corpus shuffles
+    once at index build, and each query's candidate scan is
+    |corpus|·n_probe/n_clusters. No SQL oracle (KMeans isn't expressible);
+    the unit test measures recall against the exact brute-force top-k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", vx.as_double(F.col("embedding")).alias("v")
+    )
+    ml_df = emb.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=n_clusters, seed=42, featuresCol="features").fit(ml_df)
+    assigned = (
+        model.transform(ml_df)
+        .select("vec_id", vector_to_array("features").alias("v"), F.col("prediction").alias("cell"))
+        .cache()
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # query → n_probe nearest cells (centroid table is tiny: crossJoin lit)
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    q = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probe = (
+        q.join(F.broadcast(cent_df))
+        .select("query_id", "qv", "cell", d2.alias("d2"))
+        .withColumn("cr", F.row_number().over(w_cell))
+        .where(F.col("cr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cos = vx.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        probe.join(assigned, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
 _SQL_NORMED = """
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
