@@ -99,6 +99,9 @@ class CrawlConfig:
     # serialize the write I/O of fat waves. None ⇒ match core count.
     # Production sizes this by bytes.
     commit_partitions: int | None = None
+    # rewrite the append-only tables every K waves (0 = never) — bounds
+    # reader footer-scan cost on long crawls
+    compact_every: int = 0
     graph: wg.GraphSpec = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -577,4 +580,6 @@ class FrontierEngine:
             stats = self.run_wave(wave)
             if stats.get("scheduled", 0) == 0:
                 break
+            if self.config.compact_every and wave % self.config.compact_every == 0:
+                self.compact_tables()
         return wave - start

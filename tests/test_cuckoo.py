@@ -80,6 +80,32 @@ def test_cuckoo_engine_matches_oracle(spark, tmp_path):
     assert waves == oracle.wave_of
 
 
+def test_compaction_preserves_state(spark, tmp_path):
+    """Auto-compaction every 2 waves must not change any table's contents
+    (same seen set / docs / schedule as the uncompacted run) and must cut
+    the file count."""
+    def run(wh, compact_every):
+        eng = FrontierEngine(
+            spark,
+            wh,
+            CrawlConfig(
+                wave_seconds=16.0, max_depth=3, max_waves=40,
+                compact_every=compact_every, bloom_buckets=8, graph=SPEC,
+            ),
+        )
+        eng.run(seeds=SEEDS)
+        return eng
+
+    a = run(str(tmp_path / "nocompact"), 0)
+    b = run(str(tmp_path / "compact"), 2)
+    for tbl in ("seen", "docs", "schedule"):
+        ta, tb = getattr(a, tbl), getattr(b, tbl)
+        ca = sorted(map(tuple, ta.read().collect()))
+        cb = sorted(map(tuple, tb.read().collect()))
+        assert ca == cb, f"{tbl} diverged under compaction"
+    assert len(b.seen.current_snapshot().files) < len(a.seen.current_snapshot().files)
+
+
 def test_evict_and_recrawl(spark, tmp_path):
     eng = FrontierEngine(
         spark,
