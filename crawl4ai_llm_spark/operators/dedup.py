@@ -324,6 +324,99 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 6. duplicate-cluster assignment (connected components)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 1_000_000
+) -> DataFrame:
+    """Min-label propagation over an undirected pair list → (doc_id,
+    cluster_id) where cluster_id = min doc id reachable.
+
+    Adaptive, like a broadcast-join threshold: the pair list is bounded by
+    the number of NEAR-DUPLICATES (tiny relative to the corpus), so below
+    ``driver_threshold`` pairs a driver-side union-find answers in one
+    collect — paying 5 Spark jobs per propagation round to cluster a few
+    thousand edges is pure latency. Above it, the Pregel-style iterative
+    DataFrame loop (one join + one min-agg per round, O(diameter) rounds)
+    runs fully distributed.
+    """
+    pairs = pairs.cache()
+    n_pairs = pairs.count()  # materialize once — union branches read cache
+    if n_pairs <= driver_threshold:
+        rows = pairs.select("doc_a", "doc_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(r["doc_a"]), find(r["doc_b"])
+            if a != b:
+                # min-root union keeps cluster_id = min member id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        members = sorted({r["doc_a"] for r in rows} | {r["doc_b"] for r in rows})
+        out = [(m, find(m)) for m in members]
+        result = pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
+        pairs.unpersist()
+        return result
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
+    ).cache()
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters with a canonical keeper (min id
+    — the reference's first-writer-wins dedup semantics, D1)."""
+    pairs = q_dedup_ngram_jaccard(spark, sf)
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
 # oracles
 # --------------------------------------------------------------------------
 
@@ -420,6 +513,26 @@ ORACLES: dict[str, str] = {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
     """,
     "q_dedup_embedding": _SQL_COSINE_PAIRS,
+    # connected components via recursive transitive closure — tractable in
+    # the oracle because dup clusters are tiny; the Spark side is the
+    # iterative min-label loop that scales
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id,
+               LEAST(u, MIN(v)) AS cluster_id,
+               (u = LEAST(u, MIN(v))) AS is_canonical
+        FROM reach GROUP BY u
+    """,
 }
 
 QUERIES = {
@@ -428,4 +541,5 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_clusters": q_dedup_clusters,
 }

@@ -62,6 +62,33 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus statistics: top-3 terms per doc by tf·(N/df). The score uses
+    rational arithmetic (no log) so the oracle reproduces it exactly; the
+    plan is two shuffles (term df, then per-doc rank) with map-side partial
+    counts — linear in corpus size."""
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .select("doc_id", "term", "tf", "df", F.round(score, 6).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _CHARHASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -91,6 +118,24 @@ _PRED = f"""
 _STOP_ARR = "[" + ", ".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
 
 ORACLES: dict[str, str] = {
+    "q_tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROUND(tf.tf * ((SELECT COUNT(*) FROM documents)::DOUBLE / df.df), 6) AS score
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
     "q_token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -131,4 +176,5 @@ QUERIES = {
     "q_token_stats": q_token_stats,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
 }
