@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -71,12 +72,30 @@ class Table:
             d = json.load(f)
         return Snapshot(d["snapshot_id"], d["files"], d.get("counters", {}), d.get("parent_id"))
 
+    _SNAP_RE = re.compile(r"^snap-(\d+)\.json$")
+
     def snapshots(self) -> list[Snapshot]:
+        # Parse ONLY published manifests. A crash between the tmp write and
+        # os.replace in _publish leaves a snap-N.json.tmp-<uuid> file in this
+        # directory; matching it here would break resume in exactly the crash
+        # window the manifest log exists to survive.
         out = []
         for name in sorted(os.listdir(self.meta_dir)):
-            if name.startswith("snap-"):
-                out.append(self.snapshot(int(name[5:-5])))
+            m = self._SNAP_RE.match(name)
+            if m:
+                out.append(self.snapshot(int(m.group(1))))
         return sorted(out, key=lambda s: s.snapshot_id)
+
+    def clean_stale_tmp(self) -> int:
+        """Delete orphaned ``*.tmp-*`` manifest files left by a crash before
+        the atomic rename. Safe any time: a tmp file is invisible to readers
+        (never matched by _SNAP_RE) and its writer is gone."""
+        n = 0
+        for name in os.listdir(self.meta_dir):
+            if ".tmp-" in name:
+                os.unlink(os.path.join(self.meta_dir, name))
+                n += 1
+        return n
 
     def _publish(self, snap: Snapshot) -> None:
         path = os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json")

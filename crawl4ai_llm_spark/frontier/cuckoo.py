@@ -3,7 +3,7 @@
 Complements the Bloom tier (bloom.py): a cuckoo filter stores 16-bit
 fingerprints in 4-slot buckets with two candidate buckets per key
 (partial-cuckoo hashing, Fan et al., "Cuckoo Filter: Practically Better
-Than Bloom", CoNLL 2014 — public algorithm), so it supports DELETION —
+Than Bloom", CoNEXT 2014 — public algorithm), so it supports DELETION —
 needed when a URL is evicted from the seen set for recrawl, which a Bloom
 filter cannot express.
 
@@ -12,7 +12,11 @@ partition of the seen table, built where the data lives via
 ``applyInPandas``, probed via a broadcast of the (small) packed tables.
 Like the Bloom tier it has NO false negatives (an inserted key always
 probes positive until deleted), so the exact anti-join verification tier
-stays sound.
+stays sound. The one way a cuckoo filter can break that promise is
+SATURATION (MAX_KICKS exhausted on insert at ~>95% load): a saturated
+bucket is marked with a sentinel byte and from then on probes
+maybe_seen=True for every key — the invariant degrades to "no false
+negatives OR always-positive", never to a silent false negative.
 """
 
 from __future__ import annotations
@@ -27,6 +31,25 @@ SLOTS = 4
 MAX_KICKS = 500
 FP_BITS = 16
 _MIX = 0x9E3779B1
+
+# Packed size of one filter table. A packed blob LONGER than this carries a
+# trailing saturation sentinel: at least one insert into the bucket failed
+# (MAX_KICKS exhausted, ~>95% load), so the filter can no longer promise
+# "no false negatives". Saturated buckets degrade to maybe_seen=True for
+# every key (probe_expr), which routes all their URLs through the exact
+# anti-join verification tier — correctness is preserved, only the
+# filter's pruning benefit is lost for that bucket.
+_TABLE_BYTES = N_BUCKETS * SLOTS * 2
+_SATURATED = b"\x01"
+
+
+def is_saturated(data: bytes) -> bool:
+    return len(data) > _TABLE_BYTES
+
+
+def saturated_buckets(filters: dict[int, bytes]) -> list[int]:
+    """Observability: which bucket filters have degraded to always-maybe."""
+    return sorted(b for b, d in filters.items() if is_saturated(d))
 
 
 def _fingerprint(h: np.ndarray) -> np.ndarray:
@@ -115,7 +138,12 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
-        return cls(np.frombuffer(data, dtype=np.uint16).reshape(N_BUCKETS, SLOTS).copy())
+        # tolerate (and strip) the saturation sentinel byte
+        return cls(
+            np.frombuffer(data[:_TABLE_BYTES], dtype=np.uint16)
+            .reshape(N_BUCKETS, SLOTS)
+            .copy()
+        )
 
 
 # -- partitioned build / probe (same shape as bloom.py) -----------------------
@@ -137,13 +165,20 @@ def update_filters(
     def upd(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket"].iloc[0])
         prior = bc.value.get(b)
+        if prior is not None and is_saturated(prior):
+            # once saturated the bucket is permanently degraded (always
+            # maybe_seen) until a full rebuild — skip the insert to avoid
+            # growing a table that can no longer be trusted for negatives
+            return pd.DataFrame({"bucket": [b], "filter": [prior]})
         cf = CuckooFilter.from_bytes(prior) if prior else CuckooFilter()
         keys = pdf["url_hash"].to_numpy()
+        failed = 0
         if delete:
             cf.delete(keys)
         else:
-            cf.insert(keys)
-        return pd.DataFrame({"bucket": [b], "filter": [cf.to_bytes()]})
+            failed = cf.insert(keys)
+        packed = cf.to_bytes() + (_SATURATED if failed else b"")
+        return pd.DataFrame({"bucket": [b], "filter": [packed]})
 
     with_bucket = delta.select(
         "url_hash", F.pmod(F.col("url_hash"), F.lit(n_partitions)).alias("bucket")
@@ -160,9 +195,10 @@ def update_filters(
 def build_filters(seen: DataFrame, n_partitions: int = 64) -> dict[int, bytes]:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         cf = CuckooFilter()
-        cf.insert(pdf["url_hash"].to_numpy())
+        failed = cf.insert(pdf["url_hash"].to_numpy())
+        packed = cf.to_bytes() + (_SATURATED if failed else b"")
         return pd.DataFrame(
-            {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [cf.to_bytes()]}
+            {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [packed]}
         )
 
     with_bucket = seen.select(
@@ -190,7 +226,12 @@ def probe_expr(df: DataFrame, filters: dict[int, bytes], n_partitions: int = 64)
             if data is None:
                 continue
             m = buckets == b
-            out[m] = CuckooFilter.from_bytes(data).contains(h[m])
+            if is_saturated(data):
+                # degraded bucket: no false-negative guarantee — force every
+                # key through the exact anti-join verification tier
+                out[m] = True
+            else:
+                out[m] = CuckooFilter.from_bytes(data).contains(h[m])
         return pd.Series(out)
 
     return df.withColumn("maybe_seen", might_contain(F.col("url_hash"))), bc

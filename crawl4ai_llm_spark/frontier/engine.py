@@ -142,7 +142,8 @@ class FrontierEngine:
         if self._robots_df is None:
             rows = wg.robots_rules(self.config.graph)
             self._robots_df = self.spark.createDataFrame(
-                rows, "host string, deny_prefixes array<string>, crawl_delay double"
+                rows,
+                "host string, deny_prefixes array<string>, allow_prefixes array<string>, crawl_delay double",
             )
         return self._robots_df
 
@@ -157,15 +158,36 @@ class FrontierEngine:
         ).withColumn("score", score_expr(F.col("url_hash")))
 
     def _robots_allowed(self, df: DataFrame) -> DataFrame:
-        """Drop robots-denied URLs: broadcast join + vectorized prefix test."""
+        """Drop robots-denied URLs: broadcast join + vectorized
+        longest-match-wins prefix test (RFC 9309 §2.2.2 — the longest
+        matching prefix among Allow+Disallow decides; ties go to Allow, so
+        an Allow carve-out inside a broader Disallow is honored)."""
         path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
-        return (
-            df.join(F.broadcast(self.robots_df().select("host", "deny_prefixes")), "host", "left")
-            .where(
-                F.col("deny_prefixes").isNull()
-                | ~F.exists(F.col("deny_prefixes"), lambda p: path.startswith(p))
+
+        def longest_match(arr):  # max matching-prefix length, -1 if none
+            return F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.filter(arr, lambda p: path.startswith(p)),
+                        lambda p: F.length(p),
+                    )
+                ),
+                F.lit(-1),
             )
-            .drop("deny_prefixes")
+
+        return (
+            df.join(
+                F.broadcast(
+                    self.robots_df().select("host", "deny_prefixes", "allow_prefixes")
+                ),
+                "host",
+                "left",
+            )
+            .where(
+                longest_match(F.col("allow_prefixes"))
+                >= longest_match(F.col("deny_prefixes"))
+            )
+            .drop("deny_prefixes", "allow_prefixes")
         )
 
     def init_seeds(self, seeds: list[str]) -> None:
@@ -542,6 +564,10 @@ class FrontierEngine:
         """Roll every table back to the last fully-committed wave (the
         checkpoint table's HEAD tag). Tables whose HEAD carries a NEWER wave
         tag were written by a killed, uncommitted wave — rewind them."""
+        # a kill between a manifest tmp-write and its atomic rename leaves
+        # orphaned *.tmp-* files; resume is single-writer, so sweep them here
+        for tbl in (self.checkpoints, self.docs, self.seen, self.schedule, self.frontier):
+            tbl.clean_stale_tmp()
         committed = self.last_committed_wave()
         self._blooms = None  # rebuild from the (possibly rolled-back) seen table
         self._cuckoo = None

@@ -7,8 +7,14 @@ into ``(host, deny_prefixes, crawl_delay)`` rows — the tiny dimension the
 scheduler broadcast-joins every wave.
 
 Parsing follows the de-facto standard (user-agent groups, most-specific
-agent match, Disallow prefixes, Crawl-delay): pure function + a
+agent match, Disallow/Allow prefixes, Crawl-delay): pure function + a
 mapInPandas wrapper, so it tests without Spark and scales with it.
+
+Rule application (engine._robots_allowed and webgraph.robots_allows)
+follows the de-facto longest-match-wins semantics (RFC 9309 §2.2.2): the
+longest matching prefix among Allow+Disallow decides; an exact-length tie
+goes to Allow (least restrictive). A URL matching both `Allow: /pub/ok`
+and the broader `Disallow: /pub` is therefore crawled.
 """
 
 from __future__ import annotations
@@ -77,8 +83,9 @@ def parse_robots_txt(text: str, user_agent: str = "crawl4ai") -> dict:
 
 
 def rules_table(robots_bodies: DataFrame, user_agent: str = "crawl4ai") -> DataFrame:
-    """(host, robots_txt) → (host, deny_prefixes, crawl_delay) via one
-    Arrow-batched pass — the broadcast side of the politeness join."""
+    """(host, robots_txt) → (host, deny_prefixes, allow_prefixes,
+    crawl_delay) via one Arrow-batched pass — the broadcast side of the
+    politeness join."""
 
     def parse(batches):
         for pdf in batches:
@@ -87,10 +94,12 @@ def rules_table(robots_bodies: DataFrame, user_agent: str = "crawl4ai") -> DataF
                 {
                     "host": pdf["host"],
                     "deny_prefixes": [p["deny_prefixes"] for p in parsed],
+                    "allow_prefixes": [p["allow_prefixes"] for p in parsed],
                     "crawl_delay": [p["crawl_delay"] for p in parsed],
                 }
             )
 
     return robots_bodies.mapInPandas(
-        parse, "host string, deny_prefixes array<string>, crawl_delay double"
+        parse,
+        "host string, deny_prefixes array<string>, allow_prefixes array<string>, crawl_delay double",
     )

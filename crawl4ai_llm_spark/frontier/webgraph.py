@@ -155,22 +155,35 @@ def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
 
 
 def robots_rules(spec: GraphSpec) -> list[dict]:
-    """host → deny prefixes + crawl_delay. Every 5th host denies /p/1* — a
-    REAL bite out of the graph; every 3rd host slows the crawler down."""
+    """host → deny/allow prefixes + crawl_delay. Every 5th host denies
+    /p/1* — a REAL bite out of the graph; every 10th host carves an Allow
+    exception (/p/10*) back out of its own deny (exercises RFC 9309
+    longest-match-wins); every 3rd host slows the crawler down."""
     rules = []
     for h in range(spec.n_hosts):
         deny = ["/p/1"] if h % 5 == 0 else []
+        allow = ["/p/10"] if h % 10 == 0 else []
         delay = 2.0 if h % 3 == 0 else None  # None ⇒ crawler default
         rules.append(
-            {"host": CANON_HOST_FMT.format(h=h), "deny_prefixes": deny, "crawl_delay": delay}
+            {
+                "host": CANON_HOST_FMT.format(h=h),
+                "deny_prefixes": deny,
+                "allow_prefixes": allow,
+                "crawl_delay": delay,
+            }
         )
     return rules
 
 
-def robots_allows(rules_by_host: dict[str, list[str]], canon_url: str) -> bool:
+def robots_allows(rules_by_host: dict[str, dict], canon_url: str) -> bool:
+    """Longest-match-wins (RFC 9309 §2.2.2): the longest matching prefix
+    among deny+allow decides; a tie goes to Allow. Pure-Python mirror of
+    engine._robots_allowed's column expression."""
     host = canon_url.split("//")[1].split("/")[0]
     path = "/" + canon_url.split("//")[1].split("/", 1)[1] if "/" in canon_url.split("//")[1] else "/"
-    for prefix in rules_by_host.get(host, []):
-        if path.startswith(prefix):
-            return False
-    return True
+    r = rules_by_host.get(host)
+    if not r:
+        return True
+    deny_m = max((len(p) for p in r.get("deny_prefixes") or [] if path.startswith(p)), default=-1)
+    allow_m = max((len(p) for p in r.get("allow_prefixes") or [] if path.startswith(p)), default=-1)
+    return allow_m >= deny_m

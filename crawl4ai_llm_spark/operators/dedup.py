@@ -154,7 +154,13 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return (
         influx.groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
-        .select("keeper_id", "n_copies", F.length("text").alias("text_len"))
+        .select(
+            "keeper_id",
+            "n_copies",
+            # long, not int: DuckDB LENGTH() is BIGINT and the driver's
+            # value-hash sees physical Arrow types
+            F.length("text").cast("long").alias("text_len"),
+        )
     )
 
 

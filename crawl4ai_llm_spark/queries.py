@@ -430,7 +430,9 @@ ORACLES: dict[str, str] = {
     "q_events_json": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               -- DuckDB SUM(BIGINT) yields HUGEINT (decimal128) in Arrow;
+               -- Spark's F.sum(long) is int64 — cast so the physical types match.
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1
     """,
     "q_sessionize": """

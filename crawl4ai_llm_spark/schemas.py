@@ -113,6 +113,7 @@ ROBOTS_SCHEMA = StructType(
     [
         StructField("host", StringType(), nullable=False),
         StructField("deny_prefixes", ArrayType(StringType())),
+        StructField("allow_prefixes", ArrayType(StringType())),
         StructField("crawl_delay", DoubleType()),
     ]
 )

@@ -274,10 +274,13 @@ class ProductStore:
                 # dup-vs-existing = semi-join of the (small) batch against
                 # the table; Catalyst broadcasts the batch side.
                 # semi-join with the small batch broadcast as the build side
+                # cap the sample like the bulk tier: a caller replaying a
+                # huge batch must not pull every conflicting id to the driver
                 dups = [
                     r["id"]
                     for r in existing.select("id")
                     .join(F.broadcast(batch.select("id")), "id", "left_semi")
+                    .limit(20)
                     .collect()
                 ]
                 if dups:
@@ -350,6 +353,29 @@ class ProductStore:
         no_id = [i for i, u in enumerate(updates) if not u.get("id")]
         if no_id:
             raise ValueError(f"updates at positions {no_id} lack an id")
+        # A provided 'metadata' follows the reference's wholesale-replace-
+        # then-stamp semantics (json_storage.py:410-413): the struct is
+        # rebuilt from the payload (created_at kept only if the caller
+        # supplied it — exactly what {**existing, **update} does) and
+        # updated_at is stamped. The engine's metadata is a TYPED struct, so
+        # keys it cannot represent are rejected loudly instead of silently
+        # dropped (engine-owned-metadata ruling, SURVEY §2.2 D3).
+        updates = [dict(u) for u in updates]
+        for i, u in enumerate(updates):
+            if "metadata" not in u:
+                continue
+            meta = u.pop("metadata")
+            if not isinstance(meta, dict):
+                raise ValueError(f"update at position {i}: metadata must be a dict")
+            extra = set(meta) - {"created_at", "updated_at"}
+            if extra:
+                raise ValueError(
+                    f"update at position {i}: metadata keys {sorted(extra)} are not "
+                    "representable in the engine's typed metadata struct "
+                    "(created_at, updated_at); store caller data in top-level fields"
+                )
+            u["_meta_created_at"] = meta.get("created_at")
+            u["_meta_provided"] = True
         df = self._df()
         if df is None:
             raise ProductNotFoundError(sorted({u["id"] for u in updates}))
@@ -361,8 +387,32 @@ class ProductStore:
         if missing:
             raise ProductNotFoundError(missing)
 
+        # normalize the payload created_at to an ISO string so the batch
+        # column infers cleanly (cast back to timestamp in the plan)
+        has_meta_created = False
+        for u in updates:
+            v = u.get("_meta_created_at")
+            if v is not None:
+                u["_meta_created_at"] = v.isoformat() if hasattr(v, "isoformat") else str(v)
+                has_meta_created = True
+        if not has_meta_created:  # avoid an un-inferable all-None column
+            for u in updates:
+                u.pop("_meta_created_at", None)
+
         # annotate each update dict with the set of keys it provides
-        upd_rows = [{**u, "_provided": sorted(k for k in u if k != "id")} for u in updates]
+        # ("metadata" is re-listed explicitly: it was popped into the _meta_*
+        # annotations above, and an empty provided-array would also break
+        # createDataFrame's element-type inference)
+        upd_rows = [
+            {
+                **u,
+                "_provided": sorted(
+                    [k for k in u if k != "id" and not k.startswith("_")]
+                    + (["metadata"] if u.get("_meta_provided") else [])
+                ),
+            }
+            for u in updates
+        ]
         upd = self._rows_df(upd_rows)
         upd = upd.select(
             [F.col(c).alias(f"_u_{c}") if c != "id" else F.col(c) for c in upd.columns]
@@ -377,13 +427,34 @@ class ProductStore:
         upd_only = [
             c[3:]
             for c in upd.columns
-            if c.startswith("_u_") and c != "_u__provided" and c[3:] not in df.columns
+            if c.startswith("_u_")
+            and c != "_u__provided"
+            and not c[3:].startswith("_")  # engine-internal annotations
+            and c[3:] not in df.columns
         ]
+        meta_provided = (
+            F.coalesce(F.col("_u__meta_provided"), F.lit(False))
+            if "_u__meta_provided" in upd.columns
+            else F.lit(False)
+        )
+        meta_created_payload = (
+            F.col("_u__meta_created_at").cast("timestamp")
+            if "_u__meta_created_at" in upd.columns
+            else F.lit(None).cast("timestamp")
+        )
         for c in base_cols:
             if c == "metadata":
-                # bump only updated_at for matched rows (ref :412-413)
+                # caller-provided metadata: wholesale replace + stamp
+                # (ref :410-413); otherwise bump only updated_at (ref :412)
                 out_cols.append(
                     F.when(
+                        matched & meta_provided,
+                        F.struct(
+                            meta_created_payload.alias("created_at"),
+                            F.current_timestamp().alias("updated_at"),
+                        ),
+                    )
+                    .when(
                         matched,
                         F.struct(
                             F.col("metadata.created_at").alias("created_at"),

@@ -52,19 +52,25 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
         start = last = None
         n = 0
     closed: list[tuple[int, int, int, int]] = []
+    # One user's microbatch can span MULTIPLE Arrow chunks (rows >
+    # maxRecordsPerBatch); events are only ordered within a chunk, so
+    # accumulate everything for the group and sort ONCE — per-chunk sorting
+    # would split sessions at chunk boundaries. State stays bounded: this is
+    # one user's events for one microbatch, not unbounded history.
+    all_ts: list[int] = []
     for pdf in pdf_iter:
-        for ts in sorted(pdf["epoch"].tolist()):
-            ts = int(ts)
-            if last is None:
-                start = last = ts
-                n = 1
-            elif ts - last > SESSION_GAP_S:
-                closed.append((user_id, start, last, n))
-                start = last = ts
-                n = 1
-            else:
-                last = ts
-                n += 1
+        all_ts.extend(int(t) for t in pdf["epoch"].tolist())
+    for ts in sorted(all_ts):
+        if last is None:
+            start = last = ts
+            n = 1
+        elif ts - last > SESSION_GAP_S:
+            closed.append((user_id, start, last, n))
+            start = last = ts
+            n = 1
+        else:
+            last = ts
+            n += 1
     state.update((start, last, n))
     if closed:
         yield pd.DataFrame(closed, columns=["user_id", "session_start", "session_end", "n_events"])

@@ -13,8 +13,8 @@ Semantics (normative for the parity tests, SURVEY.md §8.2):
   - dedup on canonical URL at enqueue time; same-wave rediscoveries take
     the MIN depth
   - failures retried with attempt+1 while attempt+1 ≤ max_retries
-  - robots deny prefixes filter at enqueue; robots crawl_delay overrides
-    the default politeness delay
+  - robots deny/allow prefixes filter at enqueue (longest-match-wins,
+    RFC 9309); robots crawl_delay overrides the default politeness delay
 
 No Spark, no hashing trickery: murmur3 comes from the pure-Python port
 (frontier/hashing.py) that is verified bit-identical to F.hash.
@@ -58,10 +58,9 @@ def simulate(
     max_waves: int = 1000,
 ) -> OracleResult:
     rules = {r["host"]: r for r in wg.robots_rules(spec)}
-    deny = {h: r["deny_prefixes"] or [] for h, r in rules.items()}
 
     def allowed(u: str) -> bool:
-        return wg.robots_allows(deny, u)
+        return wg.robots_allows(rules, u)
 
     def budget(host: str) -> int:
         d = rules.get(host, {}).get("crawl_delay") or delay

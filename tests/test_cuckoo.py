@@ -30,6 +30,43 @@ def test_cuckoo_core_invariants():
     assert (cf2.contains(keys[5000:])).all()
 
 
+def test_saturation_degrades_to_always_maybe():
+    """A filter pushed past capacity must NEVER produce a false negative:
+    the saturated bucket is marked and probes maybe_seen=True for all keys
+    (routing them through the exact anti-join) instead of silently dropping
+    the keys whose inserts failed."""
+    cf = ck.CuckooFilter()
+    # capacity is N_BUCKETS*SLOTS = 65536; push well past it
+    keys = (np.arange(80000, dtype=np.int64) * 2654435761) - 10**12
+    failed = cf.insert(keys)
+    assert failed > 0  # the overload actually saturated it
+    packed = cf.to_bytes() + ck._SATURATED
+    assert ck.is_saturated(packed)
+    assert not ck.is_saturated(cf.to_bytes())
+    # from_bytes strips the sentinel cleanly
+    assert ck.CuckooFilter.from_bytes(packed).table.shape == cf.table.shape
+
+
+def test_saturated_bucket_probe_and_update(spark):
+    # force saturation through the distributed path: 1 partition, >capacity keys
+    seen = spark.range(0, 70000).select((F.col("id") * 7919 - 4000).alias("url_hash"))
+    filters = ck.update_filters(seen, None, n_partitions=1)
+    assert ck.saturated_buckets(filters) == [0]
+    # EVERY key probes maybe_seen=True — including ones whose insert failed
+    probed, bc = ck.probe_expr(seen, filters, n_partitions=1)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    bc.destroy()
+    # never-inserted keys also probe True (degraded, not wrong)
+    fresh = spark.range(200000, 200100).select((F.col("id") * 7919).alias("url_hash"))
+    probed2, bc2 = ck.probe_expr(fresh, filters, n_partitions=1)
+    assert probed2.where(~F.col("maybe_seen")).count() == 0
+    bc2.destroy()
+    # further updates keep the bucket saturated
+    delta = spark.range(70000, 71000).select((F.col("id") * 7919 - 4000).alias("url_hash"))
+    filters2 = ck.update_filters(delta, filters, n_partitions=1)
+    assert ck.saturated_buckets(filters2) == [0]
+
+
 def test_distributed_update_and_probe(spark):
     seen = spark.range(0, 8000).select((F.col("id") * 7919 - 4000).alias("url_hash"))
     filters = ck.update_filters(seen, None, n_partitions=8)

@@ -131,3 +131,37 @@ def test_resume_equals_uninterrupted(spark, tmp_path, oracle):
     }
     assert got_waves == oracle.wave_of
     assert "junk" not in {r["doc_id"] for r in eng2.docs.read().select("doc_id").collect()}
+
+
+def test_resume_survives_torn_manifest_tmp(spark, tmp_path, oracle):
+    """A crash BETWEEN the manifest tmp-write and its atomic rename leaves a
+    snap-N.json.tmp-<uuid> file in meta/. snapshots() must ignore it (it was
+    never published) and resume() must sweep it — this is exactly the crash
+    window the manifest log exists to survive."""
+    import os
+
+    wh = str(tmp_path / "torn_wh")
+    cfg = CrawlConfig(
+        delay=CFG["delay"],
+        wave_seconds=CFG["wave_seconds"],
+        max_retries=CFG["max_retries"],
+        max_depth=CFG["max_depth"],
+        max_waves=2,
+        graph=SPEC,
+    )
+    eng = FrontierEngine(spark, wh, cfg)
+    eng.run(seeds=SEEDS)
+
+    # forge the torn tmp file a kill-during-_publish would leave behind
+    torn = os.path.join(eng.docs.meta_dir, "snap-99.json.tmp-deadbeef")
+    with open(torn, "w") as f:
+        f.write("{ partial")
+
+    eng2 = FrontierEngine(spark, wh, cfg)
+    assert [s.snapshot_id for s in eng2.docs.snapshots()]  # parses fine
+    assert eng2.resume() == 2
+    assert not os.path.exists(torn)  # swept
+    # crawl continues normally after the torn-manifest recovery
+    eng2.run(seeds=None, max_waves=CFG["max_waves"])
+    got_seen = {r["url"] for r in eng2.seen.read().select("url").collect()}
+    assert got_seen == oracle.seen

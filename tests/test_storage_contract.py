@@ -130,6 +130,40 @@ def test_update_products_all_or_nothing(store):
     assert store.get_product(ids[0])["title"] == "Test Product 0"  # rolled back
 
 
+def test_update_metadata_wholesale_replace(store):
+    """Reference semantics (json_storage.py:410-413): a provided metadata
+    replaces wholesale, then updated_at is stamped — created_at survives
+    ONLY if the caller included it (as the get→modify→update cycle does)."""
+    import datetime as dt
+
+    pid = store.save_product(sample_product(1))
+    before = store.get_product(pid)
+    # round-trip update: caller passes back the metadata it read
+    store.update_product(pid, {"title": "round-trip", **{"metadata": before["metadata"]}})
+    got = store.get_product(pid)
+    assert got["title"] == "round-trip"
+    assert got["metadata"]["created_at"] == before["metadata"]["created_at"]
+    assert got["metadata"]["updated_at"] >= before["metadata"]["updated_at"]
+    # metadata WITHOUT created_at: wholesale replace loses it (ref {**e,**u})
+    store.update_product(pid, {"metadata": {}})
+    got2 = store.get_product(pid)
+    assert got2["metadata"]["created_at"] is None
+    assert got2["metadata"]["updated_at"] is not None
+    # explicit created_at (ISO string form) is honored
+    store.update_product(pid, {"metadata": {"created_at": dt.datetime(2020, 1, 2, 3, 4, 5)}})
+    assert store.get_product(pid)["metadata"]["created_at"] == dt.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_update_metadata_unrepresentable_keys_rejected(store):
+    """Engine-owned-metadata ruling: keys the typed struct cannot hold are
+    rejected loudly, never silently dropped."""
+    pid = store.save_product(sample_product(1))
+    with pytest.raises(ValueError, match="not\\s+representable"):
+        store.update_product(pid, {"metadata": {"source": "import"}})
+    # nothing was written
+    assert store.get_product(pid)["title"] == "Test Product 1"
+
+
 def test_update_products_new_field(store):
     ids = store.save_products([sample_product(i) for i in range(2)])
     store.update_products([{"id": ids[0], "category": "tools"}])

@@ -2,9 +2,12 @@
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 (or --sf) and
 compares against the matching ``oracle_sql()`` via DuckDB:
-row count, column-name set, and an order-insensitive canonical value
-comparison (every cell stringified, rows sorted). Exact string equality is
-the strongest local proxy for the driver's value-hash.
+row count, column-name set, an order-insensitive canonical value
+comparison (every cell stringified, rows sorted), AND a physical Arrow
+type comparison per column. The driver's value-hash operates on Arrow
+data, so a DuckDB HUGEINT (decimal128) vs Spark int64 mismatch fails the
+driver even when the stringified values are identical — the type check
+catches that class locally (found the hard way in round 1: q_events_json).
 
 Usage: python tools/verify_correctness.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -33,6 +36,34 @@ def canon_cell(v) -> str:
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def canon_arrow_type(t) -> str:
+    """Canonical label for an Arrow type, collapsing representation-only
+    differences (string vs large_string, list vs large_list) but preserving
+    everything the driver's value-hash can see: integer width/signedness,
+    float width, decimal precision/scale, timestamp unit."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"  # ignore tz: session tz is UTC both sides
+    return str(t)
+
+
+def arrow_type_mismatches(s_tbl, d_tbl) -> list[str]:
+    s_types = {f.name: canon_arrow_type(f.type) for f in s_tbl.schema}
+    d_types = {f.name: canon_arrow_type(f.type) for f in d_tbl.schema}
+    out = []
+    for name in sorted(set(s_types) & set(d_types)):
+        if s_types[name] != d_types[name]:
+            out.append(f"{name}: spark={s_types[name]} duckdb={d_types[name]}")
+    return out
 
 
 def canon_rows(cols, rows) -> tuple[list[str], list[str]]:
@@ -67,7 +98,8 @@ def main() -> int:
         try:
             df = queries[name](spark, args.sf)
             s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
+            s_tbl = df.toArrow()
+            s_rows = [tuple(r.values()) for r in s_tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
@@ -77,8 +109,9 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = res.arrow()
+            d_cols = d_tbl.column_names
+            d_rows = [tuple(r.values()) for r in d_tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
@@ -86,6 +119,9 @@ def main() -> int:
         sc, sv = canon_rows(s_cols, s_rows)
         dc, dv = canon_rows(d_cols, d_rows)
         problems = []
+        type_diffs = arrow_type_mismatches(s_tbl, d_tbl)
+        if type_diffs:
+            problems.append("arrow types differ: " + "; ".join(type_diffs))
         if sc != dc:
             problems.append(f"columns differ: spark={sc} duckdb={dc}")
         if len(sv) != len(dv):
