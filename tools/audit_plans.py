@@ -70,10 +70,28 @@ CHECKS = {
             "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
         ).q_dedup_minhash_lsh(spark, SF),
         "expect": [
-            (r"HashAggregate", "signature mins computed with partial agg"),
+            (r"ArrowEvalPython", "signatures in one Arrow-batched numpy pass (map-only)"),
+        ],
+        "forbid": [
+            (r"HashAggregate\([^)]*h1[0-9]{2}", "the round-1 128-wide min aggregation is gone"),
+        ],
+    },
+    "q_dedup_embedding": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
+        ).q_dedup_embedding(spark, SF),
+        "expect": [
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "bucket equi-join drives candidates"),
+        ],
+        "forbid": [
+            (r"CartesianProduct", "no all-pairs scan"),
+            (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
         ],
     },
 }
+
+# scale-killer ban across EVERY audited plan: a cartesian anywhere is a bug
+GLOBAL_FORBID = [(r"CartesianProduct", "no CartesianProduct in any audited plan")]
 
 
 def main() -> int:
@@ -93,6 +111,13 @@ def main() -> int:
             if not ok:
                 failures += 1
             lines.append(f"- [{mark}] {why} (`{pattern}`)")
+            print(f"{mark:8s} {name}: {why}")
+        for pattern, why in spec.get("forbid", []) + GLOBAL_FORBID:
+            bad = re.search(pattern, plan, re.DOTALL) is not None
+            mark = "OK " if not bad else "FORBIDDEN-PRESENT"
+            if bad:
+                failures += 1
+            lines.append(f"- [{mark}] {why} (forbid `{pattern}`)")
             print(f"{mark:8s} {name}: {why}")
         # keep the scan + join lines as evidence
         evidence = "\n".join(
