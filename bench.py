@@ -39,8 +39,33 @@ HEADLINE = [
     ("q_dedup_exact", dedup.q_dedup_exact),
     ("q_dedup_minhash_lsh", dedup.q_dedup_minhash_lsh),
     ("q_dedup_simhash", dedup.q_dedup_simhash),
+    ("q_dedup_embedding", dedup.q_dedup_embedding),
+    ("q_dedup_clusters", dedup.q_dedup_clusters),
+    ("q_tfidf_top_terms", textops.q_tfidf_top_terms),
     ("q_ann_topk", similarity.q_ann_topk),
+    ("q_ann_lsh_bucketed", similarity.q_ann_lsh_bucketed),
 ]
+
+
+def store_point_lookup(spark, tmpdir: str, n_rows: int = 200_000) -> float:
+    """Bucketed point-lookup latency on a populated store: the id's hash
+    bucket prunes the read to 1/n of the files (catalog.py bucket layout)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_llm_spark.storage.store import ProductStore
+
+    store = ProductStore(spark, tmpdir)
+    batch = spark.range(n_rows).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("id"),
+        F.concat(F.lit("title "), F.col("id").cast("string")).alias("title"),
+        (F.col("id") % 997).cast("double").alias("price"),
+    )
+    store.save_products_df(batch)
+    t0 = time.time()
+    got = store.get_product(f"p{n_rows // 2}")
+    dt = time.time() - t0
+    assert got["title"] == f"title {n_rows // 2}"
+    return dt
 
 
 def crawl_throughput(spark, tmpdir: str) -> tuple[float, int]:
@@ -80,7 +105,19 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # cold/warm split for the first query: its headline number includes the
+    # one-time session/scan warmup; the warm number is what regresses when
+    # the plan does (VERDICT r01)
+    t0 = time.time()
+    q.q_list_page(spark, sf_dir).count()
+    warm_list_page = round(time.time() - t0, 3)
+    print(f"# q_list_page warm: {warm_list_page:.2f}s", file=sys.stderr)
+
     import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lookup_sec = store_point_lookup(spark, tmp)
+    print(f"# store point lookup (200k rows, bucketed): {lookup_sec:.3f}s", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as tmp:
         ups, n_urls = crawl_throughput(spark, tmp)
@@ -97,6 +134,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl_urls_per_sec": round(ups, 1),
                 "crawl_urls": n_urls,
+                "q_list_page_warm": warm_list_page,
+                "store_point_lookup_sec": round(lookup_sec, 3),
                 "cpus": cpus,
             }
         )

@@ -43,16 +43,37 @@ class Table:
     ``merge_schema`` turns on parquet footer merging at read time — needed
     only for schema-on-read tables (ProductStore); fixed-schema engine
     tables skip it (footer scans grow with the file count otherwise).
+
+    ``bucket_by=(col, n)`` hash-buckets every committed file by
+    ``pmod(hash(col), n)`` into ``_bucket=K/`` directories (the Iceberg
+    ``bucket(n, col)`` partition-transform analog). Point lookups then read
+    1/n of the files (``read(buckets={...})``) and mutations rewrite only
+    the touched buckets (``replace_buckets``) instead of the whole table.
     """
 
-    def __init__(self, spark: SparkSession, root: str, merge_schema: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        merge_schema: bool = False,
+        bucket_by: tuple[str, int] | None = None,
+    ):
         self.spark = spark
         self.merge_schema = merge_schema
+        self.bucket_by = bucket_by
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "meta")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.meta_dir, exist_ok=True)
+        try:
+            os.makedirs(self.data_dir, exist_ok=True)
+            os.makedirs(self.meta_dir, exist_ok=True)
+        except OSError as e:
+            # reference contract: backend unreachable/unwritable surfaces as
+            # StorageConnectionError (ref storage/base.py:14-16), not a raw
+            # OS error
+            from crawl4ai_llm_spark.errors import StorageConnectionError
+
+            raise StorageConnectionError(f"warehouse not writable: {root}: {e}") from e
 
     # --- snapshot log --------------------------------------------------------
 
@@ -98,23 +119,30 @@ class Table:
         return n
 
     def _publish(self, snap: Snapshot) -> None:
-        path = os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "snapshot_id": snap.snapshot_id,
-                    "parent_id": snap.parent_id,
-                    "files": snap.files,
-                    "counters": snap.counters,
-                },
-                f,
-            )
-        os.replace(tmp, path)  # atomic manifest write
-        head_tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(head_tmp, "w") as f:
-            f.write(str(snap.snapshot_id))
-        os.replace(head_tmp, self._head_path())  # atomic pointer swap
+        try:
+            path = os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json")
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "snapshot_id": snap.snapshot_id,
+                        "parent_id": snap.parent_id,
+                        "files": snap.files,
+                        "counters": snap.counters,
+                    },
+                    f,
+                )
+            os.replace(tmp, path)  # atomic manifest write
+            head_tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(head_tmp, "w") as f:
+                f.write(str(snap.snapshot_id))
+            os.replace(head_tmp, self._head_path())  # atomic pointer swap
+        except OSError as e:
+            from crawl4ai_llm_spark.errors import StorageConnectionError
+
+            raise StorageConnectionError(
+                f"cannot publish snapshot under {self.meta_dir}: {e}"
+            ) from e
 
     # --- commits -------------------------------------------------------------
 
@@ -123,14 +151,39 @@ class Table:
 
         One distributed write — Spark tasks are the fan-out (replaces the
         reference's asyncio.gather thread fan-out, json_storage.py:279-293).
+        Bucketed tables re-derive ``_bucket`` from the data (so compaction
+        and merge rewrites stay correctly bucketed), shuffle on it once so
+        each commit produces ≤1 file per touched bucket, and write it as a
+        partition directory — it is never a data column.
         """
+        from pyspark.sql import functions as F
+
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
+        if self.bucket_by is not None:
+            col, n = self.bucket_by
+            bucketed = df.withColumn("_bucket", F.pmod(F.hash(F.col(col)), F.lit(n)))
+            bucketed.repartition(n, F.col("_bucket")).write.partitionBy("_bucket").parquet(
+                out_dir, mode="overwrite"
+            )
+            return [
+                os.path.join(dirpath, name)
+                for dirpath, _, names in os.walk(out_dir)
+                for name in names
+                if name.endswith(".parquet")
+            ]
         df.write.parquet(out_dir, mode="overwrite")
         return [
             os.path.join(out_dir, name)
             for name in os.listdir(out_dir)
             if name.endswith(".parquet")
         ]
+
+    @staticmethod
+    def _file_bucket(path: str) -> int | None:
+        """Bucket id encoded in a file's partition directory, None if the
+        file predates bucketing (legacy layout)."""
+        m = re.search(r"/_bucket=(\d+)/", path)
+        return int(m.group(1)) if m else None
 
     def _next_id(self, parent: Snapshot | None) -> int:
         return (parent.snapshot_id + 1) if parent else 1
@@ -226,16 +279,60 @@ class Table:
 
     # --- reads ---------------------------------------------------------------
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame | None:
+    def read(
+        self, snapshot_id: int | None = None, buckets: set[int] | None = None
+    ) -> DataFrame | None:
+        """Read the snapshot's live files. ``buckets`` prunes the file list
+        to those bucket directories (plus any legacy unbucketed files, which
+        could hold any key) — the point-lookup path reads 1/n of the data.
+        """
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         if snap is None or not snap.files:
             return None
+        files = snap.files
+        if buckets is not None:
+            files = [
+                f for f in files if (b := self._file_bucket(f)) is None or b in buckets
+            ]
+            if not files:
+                return None
         reader = self.spark.read
         if self.merge_schema:
             # appended batches may carry new columns (schema-on-read parity
             # with the reference, SURVEY.md §1.1)
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*snap.files)
+        return reader.parquet(*files)
+
+    def replace_buckets(
+        self, df: DataFrame, buckets: set[int], counters: dict[str, int] | None = None
+    ) -> Snapshot:
+        """O(changed-data) mutation commit: the given buckets' files are
+        replaced by ``df`` (which must contain exactly those buckets' rows);
+        every other bucket's files carry over untouched — a 10-row update
+        on a 1M-row store rewrites a handful of files, not the table.
+        (This is the merge-on-read/delete-manifest seam: with the Iceberg
+        jar present it becomes MERGE INTO with bucket(n, col) partitioning.)
+        Falls back to a full overwrite if legacy unbucketed files exist,
+        since those may hold rows of any bucket."""
+        parent = self.current_snapshot()
+        old = parent.files if parent else []
+        if any(self._file_bucket(f) is None for f in old):
+            raise ValueError(
+                "replace_buckets on a table with unbucketed files — compact first"
+            )
+        keep = [f for f in old if self._file_bucket(f) not in buckets]
+        files = self._write_files(df)
+        for f in files:
+            if self._file_bucket(f) not in buckets:
+                raise ValueError(f"replacement row landed outside {buckets}: {f}")
+        snap = Snapshot(
+            self._next_id(parent),
+            keep + files,
+            counters or {},
+            parent.snapshot_id if parent else None,
+        )
+        self._publish(snap)
+        return snap
 
     def is_empty(self) -> bool:
         snap = self.current_snapshot()
@@ -248,10 +345,20 @@ class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        try:
+            os.makedirs(warehouse, exist_ok=True)
+        except OSError as e:
+            from crawl4ai_llm_spark.errors import StorageConnectionError
 
-    def table(self, name: str, merge_schema: bool = False) -> Table:
-        return Table(self.spark, os.path.join(self.warehouse, name), merge_schema)
+            raise StorageConnectionError(f"warehouse not writable: {warehouse}: {e}") from e
+
+    def table(
+        self,
+        name: str,
+        merge_schema: bool = False,
+        bucket_by: tuple[str, int] | None = None,
+    ) -> Table:
+        return Table(self.spark, os.path.join(self.warehouse, name), merge_schema, bucket_by)
 
     def drop(self, name: str) -> None:
         import shutil

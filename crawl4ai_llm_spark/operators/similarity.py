@@ -140,7 +140,7 @@ def ivf_topk(
     spark: SparkSession,
     sf: str,
     n_clusters: int = 16,
-    n_probe: int = 3,
+    n_probe: int = 10,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
 ) -> DataFrame:
@@ -150,7 +150,13 @@ def ivf_topk(
     10^9-vector plan: the centroid table broadcasts, the corpus shuffles
     once at index build, and each query's candidate scan is
     |corpus|·n_probe/n_clusters. No SQL oracle (KMeans isn't expressible);
-    the unit test measures recall against the exact brute-force top-k."""
+    the unit test measures recall against the exact brute-force top-k.
+
+    Default n_probe=10 measured on the synthetic corpus (near-uniform — no
+    cluster structure, the worst case for a coarse quantizer): recall@5 =
+    0.96 at sf0.001, 0.96-1.0 at sf0.01 (n_probe=8 → 0.76 at sf0.001).
+    Real embedding corpora cluster, needing far fewer probes per cell
+    count."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 

@@ -101,10 +101,17 @@ class ProductStore:
         warehouse: str,
         compat_mode: bool = False,
         deterministic_ids: bool = True,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
-        self.table: Table = self.catalog.table("products", merge_schema=True)
+        self.n_buckets = n_buckets
+        # hash-bucketed by id: point lookups read 1/n of the files and
+        # updates/deletes rewrite only touched buckets (catalog.py
+        # replace_buckets) — at 100 TB this is Iceberg bucket(n, id)
+        self.table: Table = self.catalog.table(
+            "products", merge_schema=True, bucket_by=("id", n_buckets)
+        )
         self.compat_mode = compat_mode
         # reference falls back to uuid4 (json_storage.py:90); deterministic
         # mode derives the id from a content hash instead so runs replay.
@@ -114,6 +121,17 @@ class ProductStore:
 
     def _df(self) -> DataFrame | None:
         return self.table.read()
+
+    def _buckets_of(self, ids: list[str]) -> set[int]:
+        """Driver-side bucket computation via the murmur3 port that is
+        bit-identical to Spark's F.hash (frontier/hashing.py) — the same
+        arithmetic the write path uses, so pruning can never miss a file."""
+        from crawl4ai_llm_spark.frontier.hashing import spark_hash_str
+
+        return {spark_hash_str(i) % self.n_buckets for i in ids}
+
+    def _df_for_ids(self, ids: list[str]) -> DataFrame | None:
+        return self.table.read(buckets=self._buckets_of(ids))
 
     def _require_df(self) -> DataFrame:
         df = self._df()
@@ -217,8 +235,17 @@ class ProductStore:
         snap = self.table.current_snapshot()
         return int(snap.counters.get("max_seq", 0)) + 1 if snap else 1
 
-    def save_product(self, product: dict[str, Any]) -> str:
-        """D1 — single insert; raises DuplicateProductError on id collision."""
+    def save_product(self, product: dict[str, Any], validate: bool = False) -> str:
+        """D1 — single insert; raises DuplicateProductError on id collision.
+        ``validate=True`` runs the payload through the ProductData model
+        first (reference Pydantic parity, models.py) — required title,
+        http(s) url, typed prices/images — raising ValueError before any
+        write."""
+        if validate:
+            from crawl4ai_llm_spark.models import ProductData
+
+            product = {**ProductData.from_dict(product).to_record(),
+                       **({"id": product["id"]} if "id" in product else {})}
         return self.save_products([product])[0]
 
     def save_products_df(self, batch: DataFrame) -> int:
@@ -295,8 +322,9 @@ class ProductStore:
     # ------------------------------------------------------------------ lookups
 
     def get_product(self, product_id: str) -> dict[str, Any]:
-        """S6 — point lookup; ProductNotFoundError if absent."""
-        df = self._df()
+        """S6 — point lookup; ProductNotFoundError if absent. Reads only the
+        id's bucket directory (1/n of the live files)."""
+        df = self._df_for_ids([product_id])
         if df is not None:
             rows = df.where(F.col("id") == F.lit(product_id)).drop("_seq").collect()
             if rows:
@@ -308,7 +336,7 @@ class ProductStore:
         before any result is returned (ref json_storage.py:353-361)."""
         if not product_ids:
             return []
-        df = self._df()
+        df = self._df_for_ids(product_ids)
         found: dict[str, dict] = {}
         if df is not None:
             ids_lit = F.array(*[F.lit(i) for i in product_ids])
@@ -376,10 +404,13 @@ class ProductStore:
                 )
             u["_meta_created_at"] = meta.get("created_at")
             u["_meta_provided"] = True
-        df = self._df()
-        if df is None:
-            raise ProductNotFoundError(sorted({u["id"] for u in updates}))
         upd_ids = [u["id"] for u in updates]
+        # O(changed-data): every id lives in its hash bucket, so both the
+        # existence pre-check and the merge read ONLY the touched buckets
+        touched = self._buckets_of(upd_ids)
+        df = self._df_for_ids(upd_ids)
+        if df is None:
+            raise ProductNotFoundError(sorted(set(upd_ids)))
         existing_ids = {
             r["id"] for r in df.where(F.col("id").isin(upd_ids)).select("id").collect()
         }
@@ -476,8 +507,9 @@ class ProductStore:
             out_cols.append(
                 F.when(F.array_contains(provided, c), F.col(f"_u_{c}")).alias(c)
             )
-        self.table.overwrite(
+        self.table.replace_buckets(
             merged.select(out_cols),
+            touched,
             counters=self.table.current_snapshot().counters,
         )
         return len(updates)
@@ -494,7 +526,9 @@ class ProductStore:
         ref test_json_storage_batch.py:288-301); empty ⇒ 0."""
         if not product_ids:
             return 0
-        df = self._df()
+        # O(changed-data): only the ids' buckets are read and rewritten
+        touched = self._buckets_of(product_ids)
+        df = self._df_for_ids(product_ids)
         if df is None:
             raise ProductNotFoundError(sorted(set(product_ids)))
         existing = {
@@ -505,7 +539,9 @@ class ProductStore:
         if missing:
             raise ProductNotFoundError(missing)
         remaining = df.where(~F.col("id").isin(product_ids))
-        self.table.overwrite(remaining, counters=self.table.current_snapshot().counters)
+        self.table.replace_buckets(
+            remaining, touched, counters=self.table.current_snapshot().counters
+        )
         return len(product_ids)
 
     # ------------------------------------------------------------------ query

@@ -150,21 +150,22 @@ def test_pandas_topk_matches_fold_topk(spark, sf_dir):
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
-    """IVF probing half the trained cells must recover most exact top-5
-    neighbors. This synthetic corpus is near-uniform (no cluster structure
-    — max pairwise cosine 0.51), the worst case for a coarse quantizer;
-    n_probe is the recall/cost dial (measured here: 3→0.36, 6→0.64,
-    8→0.76). Real embedding corpora cluster, needing far fewer probes."""
+    """IVF at the tuned default (n_probe=10) must clear 0.9 recall@5 vs
+    exact brute force. This synthetic corpus is near-uniform (no cluster
+    structure — max pairwise cosine 0.51), the worst case for a coarse
+    quantizer; measured recall@5 at sf0.001: n_probe 3→0.36, 6→0.64,
+    8→0.76, 10→0.96, 12→1.0. Real embedding corpora cluster, needing far
+    fewer probes."""
     exact = {
         (r["query_id"], r["vec_id"])
         for r in similarity.q_ann_topk(spark, sf_dir).collect()
     }
     ivf = {
         (r["query_id"], r["vec_id"])
-        for r in similarity.ivf_topk(spark, sf_dir, n_probe=8).collect()
+        for r in similarity.ivf_topk(spark, sf_dir).collect()
     }
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.7, f"IVF recall too low: {recall}"
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
 def test_minhash_candidates_superset_of_true_pairs(spark, sf_dir):
