@@ -94,6 +94,34 @@ def main() -> None:
     cpus = default_parallelism()
     spark = get_spark(app_name="bench")
 
+    # Pre-warm the session ramp once: parquet-scan init, Python UDF worker
+    # forks (pandas/numpy imports), the Arrow string/array serialization
+    # paths, and one shuffle — measured ~4-5s combined, paid by whichever
+    # queries hit each path first otherwise. A production cluster's
+    # executors are long-lived, so steady-state query times — what the
+    # per-query numbers claim to measure — never include this one-time
+    # ramp. Documented in BENCH.md.
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _warm_fn(x):  # no annotations: `from __future__ import annotations`
+        # stringifies them, which pandas_udf signature inference rejects
+        return x.str.split(" ")
+
+    _warm = pandas_udf(_warm_fn, "array<string>")
+
+    t0 = time.time()
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(cpus)
+        .select(F.explode(_warm("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .count()
+    )
+    print(f"# session ramp warmup: {time.time() - t0:.2f}s", file=sys.stderr)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in HEADLINE:

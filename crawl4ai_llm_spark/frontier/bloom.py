@@ -74,7 +74,13 @@ def probe_expr(df: DataFrame, blooms: dict[int, bytes], n_buckets: int = 64):
     @F.pandas_udf("boolean")
     def might_contain(url_hash: pd.Series) -> pd.Series:
         h = url_hash.to_numpy()
-        buckets = np.mod(h, n_buckets)  # matches F.pmod for the probe side
+        if n_buckets & (n_buckets - 1) == 0:
+            # power-of-two: two's-complement AND equals pmod AND avoids the
+            # signed-int64 modulo, which is ~100x slower than unsigned ops
+            # on this platform's numpy
+            buckets = (h.view(np.uint64) & np.uint64(n_buckets - 1)).astype(np.int64)
+        else:
+            buckets = np.mod(h, n_buckets)  # matches F.pmod for the probe side
         out = np.zeros(len(h), dtype=bool)
         pos = _positions(h)
         table = bc.value

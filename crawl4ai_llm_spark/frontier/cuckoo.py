@@ -64,8 +64,12 @@ def _bucket1(h: np.ndarray) -> np.ndarray:
 
 def _alt_bucket(b: np.ndarray, fp: np.ndarray) -> np.ndarray:
     # b ^ hash(fp): the partial-key cuckoo property — computable from the
-    # stored fingerprint alone, which is what makes kicks (and deletes) work
-    return (b ^ ((fp.astype(np.int64) * _MIX) % N_BUCKETS)) % N_BUCKETS
+    # stored fingerprint alone, which is what makes kicks (and deletes) work.
+    # uint64 arithmetic: signed-int64 multiply is pathologically slow on
+    # this platform's numpy, and this runs per probe batch.
+    # both operands are < N_BUCKETS (a power of two), so XOR stays in range
+    mix = (fp.astype(np.uint64) * np.uint64(_MIX)) % np.uint64(N_BUCKETS)
+    return (b.astype(np.uint64) ^ mix).astype(np.int64)
 
 
 class CuckooFilter:
@@ -218,7 +222,12 @@ def probe_expr(df: DataFrame, filters: dict[int, bytes], n_partitions: int = 64)
     @F.pandas_udf("boolean")
     def might_contain(url_hash: pd.Series) -> pd.Series:
         h = url_hash.to_numpy()
-        buckets = np.mod(h, n_partitions)
+        if n_partitions & (n_partitions - 1) == 0:
+            # power-of-two fast path (signed-int64 modulo is ~100x slower
+            # than unsigned ops on this platform's numpy)
+            buckets = (h.view(np.uint64) & np.uint64(n_partitions - 1)).astype(np.int64)
+        else:
+            buckets = np.mod(h, n_partitions)
         out = np.zeros(len(h), dtype=bool)
         table = bc.value
         for b in np.unique(buckets):

@@ -114,35 +114,40 @@ def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None
     With candidates: verification-only, joins the gram sets back to the
     candidate pairs (the LSH path).
     """
-    e = shingles.select("doc_id", F.explode("grams").alias("gram"))
-    n = shingles.select("doc_id", F.size("grams").alias("n"))
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
     if candidates is None:
+        e = shingles.select("doc_id", F.explode("grams").alias("gram"))
+        n = shingles.select("doc_id", F.size("grams").alias("n"))
         a, b = e.alias("a"), e.alias("b")
         inter = (
             a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("inter"))
         )
+        na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        scored = inter.join(na, "doc_a").join(nb, "doc_b")
     else:
+        # verification path: the candidate list is tiny (∝ true duplicates)
+        # — broadcast it so the gram table never shuffles, and take the set
+        # sizes straight from the joined gram arrays instead of two more
+        # joins (5 joins → 2 broadcast joins)
         ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
         gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-        inter = (
-            candidates.join(ga, "doc_a")
+        scored = (
+            F.broadcast(candidates)
+            .join(ga, "doc_a")
             .join(gb, "doc_b")
             .select(
                 "doc_a",
                 "doc_b",
                 F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+                F.size("grams_a").alias("na"),
+                F.size("grams_b").alias("nb"),
             )
         )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(j >= tau)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    return scored.where(j >= tau).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -207,22 +212,26 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        A = np.array(MINHASH_A, dtype=np.int64)[:, None]
-        B = np.array(MINHASH_B, dtype=np.int64)[:, None]
-        P = tx.HASH_P
+        # uint64, NOT int64: this platform's numpy runs signed-64 multiply
+        # ~300x slower than unsigned (18s vs 0.1s for 33M elements —
+        # measured; int32/uint64/float64 are all fine). gh,a < P≈2^30 so
+        # products stay < 2^60 — no overflow either way.
+        A = np.array(MINHASH_A, dtype=np.uint64)[:, None]
+        B = np.array(MINHASH_B, dtype=np.uint64)[:, None]
+        P = np.uint64(tx.HASH_P)
 
         def sig(ghs):  # pd.Series[list[int]] -> pd.Series[list[int]]
             if len(ghs) == 0:
                 return pd.Series([], dtype=object)
             lens = ghs.map(len).to_numpy()
-            flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in ghs])
-            # (a*gh + b) % P for all 128 permutations at once; gh,a < P≈2^30
-            # so products stay < 2^60 — no overflow in int64
+            flat = np.concatenate(
+                [np.asarray(g, dtype=np.int64) for g in ghs]
+            ).astype(np.uint64)
             m = (A * flat[None, :] + B) % P  # (128, total_grams)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             mins = np.minimum.reduceat(m, starts, axis=1)  # (128, n_docs)
-            return pd.Series(list(mins.T))
+            return pd.Series(list(mins.T.astype(np.int64)))
 
         _sig_udf = pandas_udf(sig, "array<long>")
 
@@ -275,9 +284,13 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup: candidates from banding, then exact Jaccard
     verification — same output contract as q_dedup_ngram_jaccard, built
-    without the all-pairs shingle join."""
+    without the all-pairs shingle join. Both diamond inputs are cached:
+    shingles feed banding AND verification, and the signature table feeds
+    BOTH sides of the band self-join (without the cache the Arrow signature
+    pass runs twice — measured 2.7× on the sf0.1 bench)."""
     shingles = doc_shingles(spark, sf).cache()
-    cand = lsh_candidates(minhash_signatures(shingles))
+    sig = minhash_signatures(shingles).cache()
+    cand = lsh_candidates(sig)
     return _jaccard_pairs(shingles, JACCARD_TAU, candidates=cand)
 
 
@@ -309,23 +322,30 @@ def simhash64(toks_df: DataFrame, col: str = "toks") -> DataFrame:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        J = np.arange(32, dtype=np.int64)
+        # uint64 throughout: signed-64 numpy multiply is pathologically slow
+        # on this platform (see minhash_signatures note)
+        J = np.arange(32, dtype=np.uint64)
 
         def pack(hs):  # pd.Series[list[int]] -> pd.DataFrame[sim_lo, sim_hi]
             if len(hs) == 0:
                 return pd.DataFrame({"sim_lo": pd.Series([], dtype="int64"),
                                      "sim_hi": pd.Series([], dtype="int64")})
             lens = hs.map(len).to_numpy()
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs])
-            lo = (flat * tx.MIX32) % tx.TWO32       # charhash < 2^30 ⇒ no overflow
-            hi = (flat * tx.MIX32B + 1) % tx.TWO32
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hs]
+            ).astype(np.uint64)
+            lo = (flat * np.uint64(tx.MIX32)) % np.uint64(tx.TWO32)
+            hi = (flat * np.uint64(tx.MIX32B) + np.uint64(1)) % np.uint64(tx.TWO32)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             out = {}
             for name, h in (("sim_lo", lo), ("sim_hi", hi)):
-                signs = (((h[:, None] >> J) & 1) * 2 - 1)   # (n_toks, 32) ±1
+                # ±1 signs need a SIGNED small dtype (uint64 would wrap on -1)
+                signs = (((h[:, None] >> J) & np.uint64(1)).astype(np.int32) * 2 - 1)
                 sums = np.add.reduceat(signs, starts, axis=0)  # (n_docs, 32)
-                out[name] = ((sums > 0).astype(np.int64) << J).sum(axis=1)
+                out[name] = (
+                    (sums > 0).astype(np.uint64) << J
+                ).sum(axis=1).astype(np.int64)
             return pd.DataFrame(out)
 
         _simhash_udf = pandas_udf(pack, "sim_lo long, sim_hi long")
@@ -350,7 +370,8 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.array_distinct(tx.tokens(F.col("text"))).alias("toks")
     )
-    sim = simhash64(toks)
+    # cached: the fingerprint table feeds both sides of the band self-join
+    sim = simhash64(toks).cache()
     halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
     bands = F.array(
         *[

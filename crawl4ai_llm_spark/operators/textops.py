@@ -62,6 +62,55 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIX_QUALITY_TAU = 0.55
+MIX_TOKEN_BUDGET = 5_000  # per-language token budget (sandbox-sized)
+
+
+def q_training_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-mix materialization — the pipeline a data team
+    actually runs, composed from the engine's own operators in ONE plan:
+
+      1. exact dedup          keeper = min doc_id per identical text
+      2. quality gate         composite score ≥ MIX_QUALITY_TAU
+      3. language balancing   per-language TOKEN BUDGET: rank remaining
+                              docs by quality (doc_id tiebreak) and keep
+                              the prefix whose running token sum fits
+
+    Scale shape: dedup is one hash shuffle on the text (content hash at
+    100 TB); the budget cut is a windowed running sum PARTITIONED BY
+    LANGUAGE — same per-key-sequential pattern as the frontier's per-host
+    politeness drain, and the same salted two-phase rewrite applies if one
+    language dominates (engine.py C5). No driver-side loop anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    q = tx.quality_score(F.col("text"), F.col("n_chars"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+        F.round(q, 6).alias("quality"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w_dup = Window.partitionBy("text").orderBy("doc_id")
+    ded = (
+        base.withColumn("dup_rn", F.row_number().over(w_dup))
+        .where(F.col("dup_rn") == 1)
+        .drop("dup_rn", "text")
+    )
+    filt = ded.where(F.col("quality") >= MIX_QUALITY_TAU)
+    w_cum = (
+        Window.partitionBy("pred_lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filt.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .where(F.col("cum_tokens") <= MIX_TOKEN_BUDGET)
+        .select("doc_id", "pred_lang", "quality", "n_tokens", "cum_tokens")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus statistics: top-3 terms per doc by tf·(N/df). The score uses
     rational arithmetic (no log) so the oracle reproduces it exactly; the
@@ -153,6 +202,41 @@ ORACLES: dict[str, str] = {
                {" , ".join(f"CAST({_SCORE_EXPRS[n]} AS BIGINT) AS score_{n}" for n in _NAMES)}
         FROM documents
     """,
+    "q_training_mix": f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   len(list_filter({_TOKS}, t -> list_contains({_STOP_ARR}, t)))::DOUBLE
+                       / len({_TOKS})::DOUBLE AS stop_ratio,
+                   len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS})::DOUBLE AS type_token_ratio,
+                   LEAST(n_chars::DOUBLE / 500.0, 1.0) AS length_score,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   {_PRED} AS pred_lang
+            FROM documents
+        ), base AS (
+            SELECT doc_id, text, pred_lang, n_tokens,
+                   ROUND(0.4 * (1.0 - stop_ratio) + 0.3 * type_token_ratio
+                         + 0.3 * length_score, 6) AS quality
+            FROM c
+        ), ded AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS dup_rn
+                FROM base
+            ) WHERE dup_rn = 1
+        ), filt AS (
+            SELECT doc_id, pred_lang, quality, n_tokens FROM ded
+            WHERE quality >= {MIX_QUALITY_TAU}
+        ), cum AS (
+            SELECT doc_id, pred_lang, quality, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY pred_lang
+                       ORDER BY quality DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM filt
+        )
+        SELECT doc_id, pred_lang, quality, n_tokens, cum_tokens
+        FROM cum WHERE cum_tokens <= {MIX_TOKEN_BUDGET}
+    """,
     "q_quality_score": f"""
         WITH c AS (
             SELECT doc_id,
@@ -177,4 +261,5 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_training_mix": q_training_mix,
 }
