@@ -94,3 +94,88 @@ def probe_expr(df: DataFrame, blooms: dict[int, bytes], n_buckets: int = 64):
         return pd.Series(out)
 
     return df.withColumn("maybe_seen", might_contain(F.col("url_hash"))), bc
+
+
+# -- executor-resident tier (10^10-URL scale) ---------------------------------
+#
+# The broadcast tier above collects every bucket bitmap to the driver — fine
+# at sandbox scale (64 buckets × 16 KiB = 1 MB) but at 10^10 URLs the seen
+# set needs ~10 bits/key ⇒ ~12 GB of filters, which must never transit the
+# driver or a broadcast. In this tier the filters live in a
+# snapshot-committed table of (bucket, bloom) rows and both probe and update
+# are COGROUPED Arrow jobs: each bucket's bitmap moves exactly once per wave,
+# to the executor that already holds that bucket's URL rows. Probe output for
+# buckets with no filter row is maybe_seen=False (nothing seen there), and
+# buckets with no delta carry their prior bitmap through unchanged — so one
+# cogroup emits the complete next filter table.
+
+
+def probe_cogrouped(df: DataFrame, filters_df: DataFrame | None, n_buckets: int = 64) -> DataFrame:
+    """``df`` (+ maybe_seen) via a bucket cogroup — no driver collect, no
+    broadcast; every ``df`` column passes through."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    if filters_df is None:
+        return df.withColumn("maybe_seen", F.lit(False))
+    out_schema = StructType(list(df.schema.fields) + [StructField("maybe_seen", BooleanType())])
+    out_cols = [f.name for f in out_schema.fields]
+    # BOTH cogroup keys must be the SAME type: Spark hash-partitions each
+    # side with the key's own type (hash(int 5) != hash(long 5)) and does
+    # NOT insert a cast, silently splitting groups across partitions. AQE's
+    # small-data coalescing masks it (1 partition co-locates everything),
+    # which is exactly how it slipped past small tests.
+    withb = df.withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)))
+    fb = filters_df.select(F.col("bucket").cast("long").alias("_bucket"), "bloom")
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:  # filter-only group (bucket with no URLs this wave)
+            return pd.DataFrame(columns=out_cols)
+        h = left["url_hash"].to_numpy()
+        if len(right) == 0:
+            ms = np.zeros(len(h), dtype=bool)
+        else:
+            bits = np.unpackbits(np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8))
+            ms = bits[_positions(h)].all(axis=1)
+        out = left.drop(columns=["_bucket"])
+        out["maybe_seen"] = ms
+        return out
+
+    return (
+        withb.groupBy("_bucket")
+        .cogroup(fb.groupBy("_bucket"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def update_filter_rows(
+    delta: DataFrame, filters_df: DataFrame | None, n_buckets: int = 64
+) -> DataFrame:
+    """Next complete (bucket, bloom) table: delta keys OR-ed into their
+    buckets' bitmaps, untouched buckets carried through — one cogrouped job,
+    cost ∝ delta rows + touched bitmaps."""
+    withb = delta.select(
+        "url_hash", F.pmod(F.col("url_hash"), F.lit(n_buckets)).alias("_bucket")
+    )
+    fb = (filters_df if filters_df is not None else None)
+    spark = delta.sparkSession
+    if fb is None:
+        fb = spark.createDataFrame([], "bucket int, bloom binary")
+    # cast: cogroup keys must type-match (see probe_cogrouped note)
+    fb = fb.select(F.col("bucket").cast("long").alias("_bucket"), "bloom")
+
+    def upd(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:  # untouched bucket: carry prior bitmap through
+            return pd.DataFrame({"bucket": [int(key[0])], "bloom": [right["bloom"].iloc[0]]})
+        if len(right):
+            bits = np.unpackbits(np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)).astype(bool)
+        else:
+            bits = np.zeros(M_BITS, dtype=bool)
+        pos = _positions(left["url_hash"].to_numpy())
+        bits[pos.ravel().astype(np.int64)] = True
+        return pd.DataFrame({"bucket": [int(key[0])], "bloom": [np.packbits(bits).tobytes()]})
+
+    return (
+        withb.groupBy("_bucket")
+        .cogroup(fb.groupBy("_bucket"))
+        .applyInPandas(upd, "bucket int, bloom binary")
+    )

@@ -83,6 +83,12 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     use_bloom: bool = True  # back-compat alias; False ⇒ "exact"
     bloom_buckets: int = 64
+    # "broadcast": bitmaps collect to the driver and broadcast (sandbox
+    # scale: 64×16 KiB). "partitioned": bitmaps live in a snapshot table
+    # and probe/update run as cogrouped Arrow jobs — nothing transits the
+    # driver, which is the 10^10-URL shape (~12 GB of filters at 10 bits/
+    # key can't broadcast). Identical maybe_seen semantics (equality-tested).
+    bloom_transport: str = "broadcast"
     # synthetic per-page parse cost (hash rounds) standing in for the CPU
     # work of real fetch+parse — 0 in parity tests; the scaling benchmark
     # sets it so per-URL compute dominates, as it does in production
@@ -127,6 +133,9 @@ class FrontierEngine:
         self.docs = self.catalog.table("docs_spans")
         self.schedule = self.catalog.table("schedule")
         self.checkpoints = self.catalog.table("checkpoints")
+        # partitioned-transport Bloom state (bucket, bloom) — snapshot-
+        # committed per wave, so resume() rewinds it with the other tables
+        self.blooms_table = self.catalog.table("seen_blooms")
         self._robots_df: DataFrame | None = None
         # incremental per-bucket Bloom bitmaps (C3): OR-ing per-wave deltas
         # is equivalent to rebuilding from the seen table (bitmap union is
@@ -389,7 +398,20 @@ class FrontierEngine:
         bloom_bc = None
         probed = None
         if cfg.seen_filter in ("bloom", "cuckoo") and seen_df is not None:
-            if cfg.seen_filter == "bloom":
+            if cfg.seen_filter == "bloom" and cfg.bloom_transport == "partitioned":
+                filters_df = self.blooms_table.read()
+                if filters_df is None:  # fresh engine / post-resume: full build
+                    self.blooms_table.overwrite(
+                        bloom_mod.update_filter_rows(
+                            seen_df.select("url_hash"), None, cfg.bloom_buckets
+                        ),
+                        counters={"wave": self.last_committed_wave()},
+                    )
+                    filters_df = self.blooms_table.read()
+                probed = bloom_mod.probe_cogrouped(
+                    discovered, filters_df, cfg.bloom_buckets
+                )
+            elif cfg.seen_filter == "bloom":
                 if self._blooms is None:  # fresh engine / post-resume: full build
                     self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
                 probed, bloom_bc = bloom_mod.probe_expr(
@@ -467,21 +489,41 @@ class FrontierEngine:
         def commit_frontier():
             self.frontier.overwrite(next_frontier.coalesce(k), counters=wave_tag)
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        def update_seen_filter():
+            # independent of the table writes (reads only the new_links
+            # cache and prior filter state), so it rides the same pool —
+            # wall time is max(commits, filter delta), not the sum
+            if cfg.seen_filter == "bloom" and cfg.bloom_transport == "partitioned":
+                # cost ∝ new URLs + touched bitmaps; untouched buckets
+                # carry through inside the same cogrouped job — never via
+                # the driver
+                self.blooms_table.overwrite(
+                    bloom_mod.update_filter_rows(
+                        new_links.select("url_hash"), self.blooms_table.read(), cfg.bloom_buckets
+                    ),
+                    counters=wave_tag,
+                )
+            elif cfg.seen_filter == "bloom" and self._blooms is not None:
+                self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
+            elif cfg.seen_filter == "cuckoo" and self._cuckoo is not None:
+                self._cuckoo = cuckoo_mod.update_filters(
+                    new_links, self._cuckoo, cfg.bloom_buckets
+                )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [
                 pool.submit(fn)
-                for fn in (commit_docs, commit_seen, commit_schedule, commit_frontier)
+                for fn in (
+                    commit_docs,
+                    commit_seen,
+                    commit_schedule,
+                    commit_frontier,
+                    update_seen_filter,
+                )
             ]
             for f in futures:
                 f.result()
-        mark("table_commits")
-        if cfg.seen_filter == "bloom" and self._blooms is not None:
-            self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
-        elif cfg.seen_filter == "cuckoo" and self._cuckoo is not None:
-            self._cuckoo = cuckoo_mod.update_filters(
-                new_links, self._cuckoo, cfg.bloom_buckets
-            )
-        mark("bloom_delta")
+        mark("table_commits+filter_delta")
         # checkpoint LAST, written driver-side (16 rows don't need a job)
         self.checkpoints.append_pylist(
             [self._cp_row(wave, r) for r in lineage_rows], counters=wave_tag
@@ -529,6 +571,10 @@ class FrontierEngine:
             )
         elif self.config.seen_filter == "bloom":
             self._blooms = None  # bloom can't delete — rebuild lazily from seen
+            if self.config.bloom_transport == "partitioned":
+                # drop the filter table; the next wave rebuilds from seen
+                self.catalog.drop("seen_blooms")
+                self.blooms_table = self.catalog.table("seen_blooms")
         rows.unpersist()
         return n
 
@@ -552,6 +598,14 @@ class FrontierEngine:
             self._cuckoo = cuckoo_mod.update_filters(
                 rows.select("url_hash"), self._cuckoo, self.config.bloom_buckets
             )
+        elif self.config.seen_filter == "bloom" and self.config.bloom_transport == "partitioned":
+            if self.blooms_table.read() is not None:
+                self.blooms_table.overwrite(
+                    bloom_mod.update_filter_rows(
+                        rows.select("url_hash"), self.blooms_table.read(), self.config.bloom_buckets
+                    ),
+                    counters={"wave": wave},
+                )
         elif self.config.seen_filter == "bloom" and self._blooms is not None:
             self._bloom_or(bloom_mod.build_blooms(rows, self.config.bloom_buckets))
         rows.unpersist()
@@ -571,14 +625,19 @@ class FrontierEngine:
         tag were written by a killed, uncommitted wave — rewind them."""
         # a kill between a manifest tmp-write and its atomic rename leaves
         # orphaned *.tmp-* files; resume is single-writer, so sweep them here
-        for tbl in (self.checkpoints, self.docs, self.seen, self.schedule, self.frontier):
+        for tbl in (self.checkpoints, self.docs, self.seen, self.schedule,
+                    self.frontier, self.blooms_table):
             tbl.clean_stale_tmp()
         committed = self.last_committed_wave()
         self._blooms = None  # rebuild from the (possibly rolled-back) seen table
         self._cuckoo = None
         if committed < 0:
             return -1
-        for tbl in (self.docs, self.seen, self.schedule, self.frontier):
+        # blooms_table included: a partitioned-transport filter snapshot
+        # NEWER than the committed wave would only over-include (false
+        # positives, exact-verified anyway), but rolling it back keeps the
+        # filter exactly in sync with the seen table
+        for tbl in (self.docs, self.seen, self.schedule, self.frontier, self.blooms_table):
             snap = tbl.current_snapshot()
             if snap is None or int(snap.counters.get("wave", 0)) <= committed:
                 continue

@@ -133,6 +133,75 @@ def test_resume_equals_uninterrupted(spark, tmp_path, oracle):
     assert "junk" not in {r["doc_id"] for r in eng2.docs.read().select("doc_id").collect()}
 
 
+def test_partitioned_bloom_probe_matches_broadcast(spark):
+    """The executor-resident (cogrouped) Bloom tier must agree bit-for-bit
+    with the broadcast tier: same bitmaps, same maybe_seen output."""
+    from crawl4ai_llm_spark.frontier import bloom as bm
+
+    seen = spark.range(0, 6000).select(
+        ((F.col("id") * 2654435761) % 1000000007 - 500000000).alias("url_hash")
+    )
+    n = 16
+    # bitmaps: distributed build (broadcast tier) vs cogrouped update tier
+    broadcast_filters = bm.build_blooms(seen, n)
+    rows = bm.update_filter_rows(seen.select("url_hash"), None, n).collect()
+    part_filters = {r["bucket"]: bytes(r["bloom"]) for r in rows}
+    assert part_filters == broadcast_filters
+    # probe: members + fresh keys, both tiers, identical verdicts per key
+    mix = seen.unionByName(
+        spark.range(0, 3000).select((F.col("id") * 7919 + 13).alias("url_hash"))
+    )
+    got_b, bc = bm.probe_expr(mix, broadcast_filters, n)
+    b_map = {r["url_hash"]: r["maybe_seen"] for r in got_b.collect()}
+    bc.destroy()
+    filters_df = spark.createDataFrame(
+        [(k, v) for k, v in part_filters.items()], "bucket int, bloom binary"
+    )
+    got_p = bm.probe_cogrouped(mix, filters_df, n)
+    p_map = {r["url_hash"]: r["maybe_seen"] for r in got_p.collect()}
+    assert p_map == b_map
+    # incremental update carries untouched buckets through unchanged
+    delta = spark.range(100000, 100200).select((F.col("id") * 31).alias("url_hash"))
+    rows2 = bm.update_filter_rows(delta, filters_df, n).collect()
+    assert {r["bucket"] for r in rows2} == set(part_filters)  # complete table
+    probed2 = bm.probe_cogrouped(delta, spark.createDataFrame(
+        [(r["bucket"], bytes(r["bloom"])) for r in rows2], "bucket int, bloom binary"
+    ), n)
+    assert probed2.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+
+def test_partitioned_bloom_engine_matches_oracle(spark, tmp_path, oracle):
+    """Full crawl with bloom_transport='partitioned': nothing transits the
+    driver, final seen set still exactly equals the oracle, and the filter
+    table participates in kill/resume."""
+    wh = str(tmp_path / "pbloom_wh")
+    cfg = CrawlConfig(
+        delay=CFG["delay"],
+        wave_seconds=CFG["wave_seconds"],
+        max_retries=CFG["max_retries"],
+        max_depth=CFG["max_depth"],
+        max_waves=3,
+        bloom_transport="partitioned",
+        graph=SPEC,
+    )
+    eng = FrontierEngine(spark, wh, cfg)
+    eng.run(seeds=SEEDS)  # "crash" after wave 3
+    eng2 = FrontierEngine(spark, wh, CrawlConfig(**{**cfg.__dict__, "max_waves": CFG["max_waves"]}))
+    assert eng2.resume() == 3
+    eng2.run(seeds=None, max_waves=CFG["max_waves"])
+    got = {r["url"] for r in eng2.seen.read().select("url").collect()}
+    assert got == oracle.seen
+    # the filter table reflects the final seen set (no false negatives)
+    filters_df = eng2.blooms_table.read()
+    assert filters_df is not None
+    from crawl4ai_llm_spark.frontier import bloom as bm
+
+    probed = bm.probe_cogrouped(
+        eng2.seen.read().select("url_hash"), filters_df, eng2.config.bloom_buckets
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
 def test_resume_survives_torn_manifest_tmp(spark, tmp_path, oracle):
     """A crash BETWEEN the manifest tmp-write and its atomic rename leaves a
     snap-N.json.tmp-<uuid> file in meta/. snapshots() must ignore it (it was

