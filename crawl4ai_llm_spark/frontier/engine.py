@@ -83,11 +83,18 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     use_bloom: bool = True  # back-compat alias; False ⇒ "exact"
     bloom_buckets: int = 64
-    # "broadcast": bitmaps collect to the driver and broadcast (sandbox
-    # scale: 64×16 KiB). "partitioned": bitmaps live in a snapshot table
-    # and probe/update run as cogrouped Arrow jobs — nothing transits the
-    # driver, which is the 10^10-URL shape (~12 GB of filters at 10 bits/
-    # key can't broadcast). Identical maybe_seen semantics (equality-tested).
+    # Transport is a SIZE-DEPENDENT tradeoff (both measured, BENCH.md):
+    # - "broadcast" (default): bitmaps collect to the driver and broadcast.
+    #   Probe is map-only; best when per-wave fixed cost matters (sandbox
+    #   wave sizes, latency-bound crawls: 0.84 scaling efficiency vs 0.66
+    #   for partitioned at the 616k-URL scaling run's wave sizes).
+    # - "partitioned": bitmaps live in a snapshot table; probe/update are
+    #   cogrouped Arrow jobs — one extra shuffle per wave, but NOTHING
+    #   transits the driver. Mandatory at 10^10 URLs (~12 GB of filters at
+    #   10 bits/key can't broadcast), and already faster when waves are
+    #   CPU-bound (3,357 vs 3,021 urls/s at local[32], no latency model).
+    # Identical maybe_seen semantics (equality-tested at the probe level
+    # and via full-crawl oracle parity incl. kill/resume).
     bloom_transport: str = "broadcast"
     # synthetic per-page parse cost (hash rounds) standing in for the CPU
     # work of real fetch+parse — 0 in parity tests; the scaling benchmark
