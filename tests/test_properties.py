@@ -69,3 +69,69 @@ def test_cuckoo_membership_property(keys):
     cf.delete(arr)
     # after deleting everything inserted, table is empty again
     assert cf.table.sum() == 0
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(max_examples=500, deadline=None)
+def test_simhash_pigeonhole_banding(fp64, flip_bits):
+    """For ANY 64-bit fingerprint and ANY ≤3 flipped bits, at least one of
+    the 4 16-bit bands is untouched — the exactness proof behind
+    q_dedup_simhash's banded candidate generation (dedup.py)."""
+    other = fp64
+    for b in flip_bits:
+        other ^= 1 << b
+    bands_a = [(fp64 >> (16 * k)) & 0xFFFF for k in range(4)]
+    bands_b = [(other >> (16 * k)) & 0xFFFF for k in range(4)]
+    assert any(a == b for a, b in zip(bands_a, bands_b))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=1_000_000_006), min_size=1, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_minhash_vectorized_signature_matches_reference(gram_hash_lists):
+    """The uint64 reduceat signature pass (operators/dedup.py) equals the
+    obvious per-doc min loop, for arbitrary gram-hash lists — guards the
+    platform-driven uint64/reduceat machinery against silent regressions."""
+    from crawl4ai_llm_spark.operators.dedup import MINHASH_A, MINHASH_B, N_HASHES
+
+    import crawl4ai_llm_spark.functions.text as tx
+
+    P = tx.HASH_P
+    # vectorized pass, exactly as the pandas UDF computes it
+    A = np.array(MINHASH_A, dtype=np.uint64)[:, None]
+    B = np.array(MINHASH_B, dtype=np.uint64)[:, None]
+    lens = np.array([len(g) for g in gram_hash_lists])
+    flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in gram_hash_lists]).astype(np.uint64)
+    m = (A * flat[None, :] + B) % np.uint64(P)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    vec = np.minimum.reduceat(m, starts, axis=1).T.astype(np.int64)
+    # reference: per-doc, per-permutation python min
+    for d, grams in enumerate(gram_hash_lists):
+        for i in range(0, N_HASHES, 17):  # sample permutations for speed
+            expect = min((MINHASH_A[i] * g + MINHASH_B[i]) % P for g in grams)
+            assert vec[d, i] == expect
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=300, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_bloom_bitmap_core_no_false_negatives(keys):
+    """The shared bitmap core of BOTH bloom transports: members of a
+    bitmap built via _positions always probe positive."""
+    from crawl4ai_llm_spark.frontier import bloom as bm
+
+    h = np.array(keys, dtype=np.int64)
+    bits = np.zeros(bm.M_BITS, dtype=bool)
+    bits[bm._positions(h).ravel().astype(np.int64)] = True
+    packed = np.packbits(bits).tobytes()
+    # probe exactly as both transports do
+    bits2 = np.unpackbits(np.frombuffer(packed, dtype=np.uint8))
+    assert bits2[bm._positions(h)].all(axis=1).all()
