@@ -265,6 +265,41 @@ class Table:
             counters=counters or (snap.counters if snap else {}),
         )
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` parity — the maintenance op that
+        bounds storage on long-running tables: drop all but the newest
+        ``keep_last`` manifests and delete any data file referenced ONLY by
+        dropped snapshots. Irreversible: rollback past the horizon becomes
+        impossible (time travel is traded for space, exactly as in
+        Iceberg). HEAD is always the newest snapshot (rollback publishes a
+        NEW child), so the current table state is never touched.
+
+        Without this, an append-per-wave crawl retains cores×waves parquet
+        files forever — compaction bounds the LIVE file count but every
+        superseded file stays referenced by an old manifest."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"removed_snapshots": 0, "removed_files": 0}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f for s in keep for f in s.files}
+        removed_files = 0
+        for s in drop:
+            for f in s.files:
+                if f not in live and os.path.exists(f):
+                    os.unlink(f)
+                    removed_files += 1
+            manifest = os.path.join(self.meta_dir, f"snap-{s.snapshot_id}.json")
+            if os.path.exists(manifest):
+                os.unlink(manifest)
+        # sweep now-empty commit/bucket directories (cosmetic, best-effort)
+        for dirpath, dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            if dirpath != self.data_dir and not dirnames and not filenames:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"removed_snapshots": len(drop), "removed_files": removed_files}
+
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Reset HEAD to an earlier snapshot (Iceberg rollback analog).
 

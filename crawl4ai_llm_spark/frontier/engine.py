@@ -654,13 +654,30 @@ class FrontierEngine:
                     break
         return committed
 
-    def compact_tables(self, target_partitions: int | None = None) -> None:
+    def compact_tables(
+        self,
+        target_partitions: int | None = None,
+        expire_keep_last: int | None = None,
+    ) -> None:
         """Maintenance: rewrite the append-only tables to a bounded file
-        count (run between waves every K waves on long crawls)."""
+        count (run between waves every K waves on long crawls).
+        ``expire_keep_last`` additionally garbage-collects manifests/files
+        older than that many snapshots per table (catalog.expire_snapshots)
+        — without it, superseded files stay referenced by old manifests
+        forever and disk grows with cores×waves. NOTE the append-lineage
+        shape: every pre-compaction snapshot references the full file
+        history, so only ``expire_keep_last=1`` (keep just the compacted
+        snapshot) actually frees space (measured 331→118 files on a
+        4-wave crawl) — and it is resume-safe because compaction runs
+        between fully-committed waves and tags the compacted snapshot
+        with the committed wave (kill/resume + oracle parity verified).
+        Values ≥ 2 preserve rollback depth instead of space."""
         k = target_partitions or self.spark.sparkContext.defaultParallelism
         wave_tag = {"wave": self.last_committed_wave()}
         for tbl in (self.seen, self.docs, self.schedule):
             tbl.compact(k, counters=wave_tag)
+            if expire_keep_last:
+                tbl.expire_snapshots(expire_keep_last)
 
     def run(self, seeds: list[str] | None = None, max_waves: int | None = None) -> int:
         """Crawl to frontier exhaustion (or the wave cap). Returns the number

@@ -295,6 +295,39 @@ def test_delete_rewrites_only_touched_buckets(store):
         store.get_product(ids[0])
 
 
+def test_expire_snapshots_bounds_storage(store):
+    """catalog.expire_snapshots (Iceberg parity): old manifests and the
+    files ONLY they reference are deleted; current data is untouched;
+    time travel past the horizon is gone."""
+    import glob
+    import os
+
+    ids = store.save_products([sample_product(i) for i in range(10)])
+    for i in range(5):  # five more commits: updates churn bucket files
+        store.update_products([{"id": ids[i], "title": f"v{i}"}])
+    tbl = store.table
+    n_snaps_before = len(tbl.snapshots())
+    files_before = len(glob.glob(os.path.join(tbl.data_dir, "**", "*.parquet"), recursive=True))
+    stats = tbl.expire_snapshots(keep_last=2)
+    assert stats["removed_snapshots"] == n_snaps_before - 2
+    assert stats["removed_files"] > 0
+    files_after = len(glob.glob(os.path.join(tbl.data_dir, "**", "*.parquet"), recursive=True))
+    assert files_after < files_before
+    # current state fully intact through the GC
+    assert store.get_product(ids[0])["title"] == "v0"
+    assert store.list_products(page_size=1).total == 10
+    # live files all still exist
+    for f in tbl.current_snapshot().files:
+        assert os.path.exists(f)
+    # time travel past the horizon is gone (manifest deleted)
+    oldest_kept = tbl.snapshots()[0].snapshot_id
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(oldest_kept - 1)
+    # further commits work normally after expiration
+    store.update_products([{"id": ids[9], "title": "post-gc"}])
+    assert store.get_product(ids[9])["title"] == "post-gc"
+
+
 # --- delete (ref test_json_storage.py, batch :288-301) -----------------------
 
 
