@@ -3,7 +3,11 @@
 Five tiers, each a ``queries()`` entry with a DuckDB oracle:
 
   exact          hash-groupBy on full text — one shuffle on the text hash
-  ngram_jaccard  exact 3-gram Jaccard via shingle join — the semantic spec
+  ngram_jaccard  exact 3-gram Jaccard via shingle join — the semantic spec.
+                 Candidate generation skips shingles whose document
+                 frequency exceeds max(32, 5% of docs): an ultra-common
+                 stop-phrase otherwise makes the posting-list self-join
+                 Σ df² — quadratic at 100 TB on one hot gram
   minhash_lsh    MinHash signatures + banded LSH candidates + exact verify —
                  the 100 TB path (candidates ∝ true duplicates, not n²)
   simhash        64-bit SimHash (two 32-bit halves) + 4×16-bit band
@@ -11,9 +15,11 @@ Five tiers, each a ``queries()`` entry with a DuckDB oracle:
                  (4 bands, ≤3 flipped bits ⇒ at least one band untouched ⇒
                  zero false negatives); 65,536 keys/band keeps buckets
                  sub-quadratic at 10⁹ docs
-  embedding      cosine near-dup over embedding vectors: sign-LSH bucket
-                 candidates + exact cosine verify (provable recall 1 on the
-                 planted influx duplicates — no cartesian in the plan)
+  embedding      cosine near-dup over embedding vectors: banded coordinate-
+                 sign LSH (4 bands × 16 sign bits = 65,536 keys/band,
+                 mirroring the simhash pigeonhole trick) + exact cosine
+                 verify (provable recall 1 on the planted influx duplicates
+                 — no cartesian in the plan)
 
 Scale design: the shingle explode keys every shuffle by gram/band/bucket —
 never by document — so hot documents don't skew partitions; ultra-frequent
@@ -37,6 +43,28 @@ from crawl4ai_llm_spark.session import load_table
 
 JACCARD_TAU = 0.5
 SIMHASH_RADIUS = 3
+
+# Shingle document-frequency cap for the exact tier's candidate generation:
+# a gram in more than max(MIN, FRAC·n_docs) documents is too common to
+# identify a duplicate pair and would cost df² join rows — candidates must
+# share at least one gram UNDER the cap; verification still scores the FULL
+# gram sets, so Jaccard values are unchanged. The MIN floor keeps tiny
+# corpora (tests) cap-free.
+SHINGLE_DF_CAP_FRAC = 0.05
+SHINGLE_DF_CAP_MIN = 32
+
+# Influx id offset for the re-crawled-corpus simulations: a high bit rather
+# than an additive constant, so perturbed copies can NEVER collide with real
+# ids at any scale factor (doc_id/vec_id are dense from 0; +100000 would
+# alias at ≥100k rows and the shared oracle could not catch it).
+INFLUX_OFFSET = 1 << 40
+
+# Embedding dedup banding: 4 bands × 16 coordinate-sign bits (dims 0..63)
+# = 65,536 keys per band — the same pigeonhole scheme as q_dedup_simhash.
+# A pair with ≤3 coordinate sign flips shares ≥1 band key, and a POSITIVE
+# per-dimension rescale (the influx perturbation) flips none.
+SIGN_BANDS = 4
+SIGN_BAND_BITS = 16
 
 # MinHash config: 128 permutations = 32 bands × 4 rows. For a true pair at
 # J ≥ 0.9 the miss probability is (1 - 0.9^4)^32 ≈ 1.5e-15 — and every
@@ -99,53 +127,71 @@ def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # the documents table arrives as few parquet files — without an explicit
     # repartition the whole Arrow-UDF chain (shingling, signatures) runs in
-    # as few tasks as there are input splits; round-robin it across the
-    # executors BEFORE the per-doc CPU work (at 100 TB the scan itself has
-    # enough splits and this is a no-op repartition to defaultParallelism)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # as few tasks as there are input splits. Gated: repartition is a full
+    # round-robin shuffle of the corpus, so it runs ONLY when the scan is
+    # narrower than the executors (at 100 TB the scan has plenty of splits
+    # and the shuffle is skipped, keeping the signature pass map-only).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return docs.select("doc_id", word_ngrams_fast(F.col("text")).alias("grams"))
 
 
-def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard ≥ tau over (optionally pre-filtered candidate) pairs.
+def _candidate_pairs_inverted(shingles: DataFrame) -> DataFrame:
+    """Candidate pairs from the shingle inverted index, df-capped.
 
-    Without candidates: shingle-inverted-index join — each gram co-locates
-    its documents, the only all-pairs work is within a gram's posting list.
-    With candidates: verification-only, joins the gram sets back to the
-    candidate pairs (the LSH path).
+    Each gram co-locates its documents, so the only all-pairs work is within
+    a gram's posting list — Σ df² rows, which one ultra-common stop-phrase
+    turns quadratic at scale. Grams over the df cap are excluded from
+    candidate GENERATION only (the banned set is tiny by pigeonhole —
+    #banned ≤ total-occurrences/cap — so it broadcasts); verification still
+    scores full gram sets. A pair sharing ONLY over-cap grams is missed by
+    construction — at Jaccard ≥ 0.5 that needs a majority-stop-phrase
+    document, the standard accepted tradeoff of df-capping.
     """
-    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    n_docs = shingles.count()
+    cap = max(SHINGLE_DF_CAP_MIN, int(SHINGLE_DF_CAP_FRAC * n_docs))
+    e = shingles.select("doc_id", F.explode("grams").alias("gram"))
+    banned = (
+        e.groupBy("gram").agg(F.count("*").alias("df"))
+        .where(F.col("df") > cap)
+        .select("gram")
+    )
+    ec = e.join(F.broadcast(banned), "gram", "left_anti")
+    a, b = ec.alias("a"), ec.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard ≥ tau over candidate pairs (full gram sets — the df cap
+    affects only which pairs get scored, never the score).
+
+    Without candidates: generate them from the df-capped inverted index (the
+    spec tier). With candidates (the LSH path): the list is tiny
+    (∝ true duplicates) — broadcast it so the gram table never shuffles.
+    """
+    broadcast_candidates = candidates is not None
     if candidates is None:
-        e = shingles.select("doc_id", F.explode("grams").alias("gram"))
-        n = shingles.select("doc_id", F.size("grams").alias("n"))
-        a, b = e.alias("a"), e.alias("b")
-        inter = (
-            a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("inter"))
+        candidates = _candidate_pairs_inverted(shingles)
+    cand = F.broadcast(candidates) if broadcast_candidates else candidates
+    ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    scored = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+            F.size("grams_a").alias("na"),
+            F.size("grams_b").alias("nb"),
         )
-        na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-        nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-        scored = inter.join(na, "doc_a").join(nb, "doc_b")
-    else:
-        # verification path: the candidate list is tiny (∝ true duplicates)
-        # — broadcast it so the gram table never shuffles, and take the set
-        # sizes straight from the joined gram arrays instead of two more
-        # joins (5 joins → 2 broadcast joins)
-        ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-        gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-        scored = (
-            F.broadcast(candidates)
-            .join(ga, "doc_a")
-            .join(gb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
-                F.size("grams_a").alias("na"),
-                F.size("grams_b").alias("nb"),
-            )
-        )
+    )
     return scored.where(j >= tau).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
@@ -163,7 +209,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     twice; keeper = min doc_id, matching the reference's first-writer-wins
     duplicate semantics (DuplicateProductError on second save, D1)."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    influx = docs.unionAll(docs.select(F.col("doc_id") + 100000, "text"))
+    influx = docs.unionAll(docs.select(F.col("doc_id") + INFLUX_OFFSET, "text"))
     return (
         influx.groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
@@ -424,14 +470,15 @@ def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
     q_dedup_exact's union trick): every vector arrives twice, the copy
     perturbed by a deterministic POSITIVE per-dimension scale factor
     (1.0–1.032). Positive scaling preserves every coordinate sign, so a
-    true duplicate lands in the SAME sign-LSH bucket by construction —
-    recall of the bucketed plan is provably 1, which is what lets the
-    oracle stay the plan-independent all-pairs form."""
+    true duplicate lands in the SAME sign-LSH band keys by construction —
+    recall of the banded plan is provably 1, which is what lets the
+    oracle stay the plan-independent all-pairs form. Copy ids carry the
+    INFLUX_OFFSET high bit (never collides with a real vec_id)."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
     perturbed = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + INFLUX_OFFSET).alias("vec_id"),
         F.expr(
             f"transform(v, (x, j) -> x * ({_PERTURB}))"
         ).alias("v"),
@@ -439,32 +486,70 @@ def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
     return emb.unionByName(perturbed)
 
 
+def sign_band_keys(vec_col) -> "F.Column":
+    """SIGN_BANDS × (band, key) structs: band b's key packs the signs of
+    coordinates [16b, 16b+16) — integer-exact (no FP accumulation),
+    deterministic in any engine. Dimensions beyond the vector length read
+    as sign 0 (element_at past the end is null), so shorter vectors degrade
+    deterministically."""
+
+    def band_key(b: int):
+        total = F.lit(0)
+        for j in range(SIGN_BAND_BITS):
+            total = total + F.when(
+                F.element_at(vec_col, b * SIGN_BAND_BITS + j + 1) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return total.cast("long")
+
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+            for b in range(SIGN_BANDS)
+        ]
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup at cos ≥ 0.9 over the influx corpus: sign-LSH
-    bucket candidates + exact fold-deterministic cosine verify.
+    """Embedding near-dup at cos ≥ 0.9 over the influx corpus: banded
+    coordinate-sign LSH candidates + exact fold-deterministic cosine verify.
 
     NO cartesian anywhere (round 1 shipped `a ⋈ b ON vec_a < vec_b` — an
-    all-pairs scan that is O(n²) at 10⁹ vectors): candidates come from an
-    equi-join on the 8-bit coordinate-sign bucket, so work scales with
-    bucket occupancy, and the planted duplicates provably share a bucket
-    (positive scaling never flips a sign). Unrelated corpus pairs top out
-    near cos 0.52, far under the 0.9 threshold, so the bucketed plan
-    returns EXACTLY the all-pairs answer — the oracle checks that claim
-    against the plan-independent all-pairs SQL at sf0.01."""
-    from crawl4ai_llm_spark.operators.similarity import sign_bucket
-
-    influx = embedding_influx(spark, sf)
-    withb = influx.withColumn("bucket", sign_bucket(F.col("v")))
-    a = withb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    all-pairs scan that is O(n²) at 10⁹ vectors), and no weak bucket
+    constant (round 2 used ONE 8-bit sign bucket = 256 keys, leaving an
+    ~n²/256 within-bucket self-join): candidates come from an equi-join on
+    4×16-bit sign band keys — 65,536 keys per band, measured near-perfectly
+    uniform on this corpus (max occupancy 2 at sf0.1) — so per-band join
+    work is Σ occupancy² ≈ n²/65,536, and the planted duplicates provably
+    share EVERY band key (positive scaling never flips a sign; pigeonhole
+    also covers any ≤3-sign-flip pair, mirroring q_dedup_simhash).
+    Unrelated corpus pairs top out near cos 0.52, far under the 0.9
+    threshold, so the banded plan returns EXACTLY the all-pairs answer —
+    the oracle checks that claim against the plan-independent all-pairs SQL
+    at sf0.01."""
+    influx = embedding_influx(spark, sf).cache()
+    bk = influx.select("vec_id", F.explode(sign_band_keys(F.col("v"))).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    b = withb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    # verification: candidates ∝ true duplicates — broadcast them so the
+    # vector table never shuffles
+    va = influx.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = influx.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = vx.cosine(F.col("va"), F.col("vb"))
     return (
-        a.join(b, ["bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(cand)
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
         .where(cos >= COSINE_DUP_TAU)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
     )
@@ -567,10 +652,20 @@ def connected_components(
     return labels
 
 
+def clusters_pair_source(spark: SparkSession, sf: str) -> DataFrame:
+    """The executed pair generator behind q_dedup_clusters: the MinHash-LSH
+    tier (candidates ∝ true duplicates), NOT the inverted-index spec tier
+    whose posting-list self-join inherits the Σ df² risk. The two produce
+    identical pairs on this corpus (both verify exact Jaccard ≥ tau; LSH
+    miss-probability ~1.5e-15 at this band config) — the shared oracle
+    proves it. Audited in tools/audit_plans.py: no gram-keyed self-join."""
+    return q_dedup_minhash_lsh(spark, sf)
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters with a canonical keeper (min id
     — the reference's first-writer-wins dedup semantics, D1)."""
-    pairs = q_dedup_ngram_jaccard(spark, sf)
+    pairs = clusters_pair_source(spark, sf)
     labels = connected_components(pairs)
     return labels.select(
         "doc_id",
@@ -596,13 +691,28 @@ _SQL_GRAMS = f"""
     FROM documents
 """
 
+# Candidate generation mirrors the Spark plan: pairs must share ≥1 gram
+# whose document frequency is under max(MIN, FRAC·n_docs); scoring then uses
+# the FULL gram sets, so Jaccard values are cap-independent.
 _SQL_JACCARD_PAIRS = f"""
-    WITH g AS ({_SQL_GRAMS})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH g AS ({_SQL_GRAMS}),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    allowed AS (
+        SELECT e.doc_id, e.gram
+        FROM e JOIN (SELECT gram, COUNT(*) AS df FROM e GROUP BY 1) d USING (gram)
+        WHERE d.df <= GREATEST({SHINGLE_DF_CAP_MIN},
+                               FLOOR({SHINGLE_DF_CAP_FRAC} * (SELECT COUNT(*) FROM g)))
+    ),
+    cand AS (
+        SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+        FROM allowed ca JOIN allowed cb
+          ON ca.gram = cb.gram AND ca.doc_id < cb.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
            ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
                  / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
                  6) AS jaccard
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
     WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {JACCARD_TAU}
 """
@@ -645,7 +755,7 @@ _SQL_COSINE_PAIRS = f"""
     ), influx AS (
         SELECT vec_id, v FROM base
         UNION ALL
-        SELECT vec_id + 100000,
+        SELECT vec_id + {INFLUX_OFFSET},
                list_transform(generate_series(1, len(v)),
                    j -> v[j] * (1.0 + 0.04 * CAST((vec_id + (j - 1)) % 5 AS DOUBLE) / 5.0))
         FROM base
@@ -667,11 +777,11 @@ _SQL_COSINE_PAIRS = f"""
 """
 
 ORACLES: dict[str, str] = {
-    "q_dedup_exact": """
+    "q_dedup_exact": f"""
         WITH influx AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000, text FROM documents
+            SELECT doc_id + {INFLUX_OFFSET}, text FROM documents
         )
         SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, LENGTH(text) AS text_len
         FROM influx GROUP BY text

@@ -25,7 +25,11 @@ from crawl4ai_llm_spark.session import load_table
 
 N_QUERIES = 5
 TOP_K = 5
-LSH_BITS = 8  # sign of dims 0..7 → 256 buckets
+# sign of dims 0..7 → 256 buckets. Tolerable for ANN (per-query candidate
+# cost = bucket occupancy, linear in n; IVF is the real scale tier) — the
+# DEDUP path needs a finer space and uses its own 4×16-bit banded sign
+# scheme (operators/dedup.py sign_band_keys), not this constant.
+LSH_BITS = 8
 LSH_QUERIES = 20
 LSH_TOP_K = 3
 

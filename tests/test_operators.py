@@ -168,6 +168,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_df_cap_kills_stop_phrase_pair_explosion(spark):
+    """An ultra-common shingle (planted in EVERY doc) must not explode the
+    inverted-index candidate count: ungated it alone emits n(n-1)/2 pairs —
+    the Σ df² quadratic at scale. With the df cap, candidates come only from
+    under-cap grams, and a true duplicate pair (sharing RARE grams) is still
+    found with its exact full-set Jaccard."""
+    n = 200  # cap = max(32, 0.05·200) = 32 ⇒ the df=200 stop gram is banned
+    rows = [(i, [f"g{i}x", f"g{i}y", f"g{i}z", "STOP PHRASE GRAM"]) for i in range(n)]
+    # plant one true dup: doc n shares doc 0's rare grams
+    rows.append((n, [f"g0x", f"g0y", f"g0z", "STOP PHRASE GRAM"]))
+    sh = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._candidate_pairs_inverted(sh).collect()
+    }
+    assert cand == {(0, n)}, f"stop-phrase gram leaked {len(cand)} candidate pairs"
+    scored = dedup._jaccard_pairs(sh, dedup.JACCARD_TAU).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in scored] == [(0, n, 1.0)]
+
+
 def test_minhash_candidates_superset_of_true_pairs(spark, sf_dir):
     """LSH recall check at this band config: candidates ⊇ all pairs the
     exact shingle join finds at the query threshold."""

@@ -81,11 +81,25 @@ CHECKS = {
             "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
         ).q_dedup_embedding(spark, SF),
         "expect": [
-            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "bucket equi-join drives candidates"),
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "band-key equi-join drives candidates"),
         ],
         "forbid": [
             (r"CartesianProduct", "no all-pairs scan"),
             (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
+        ],
+    },
+    # the pair generator q_dedup_clusters actually executes (the cluster
+    # assignment itself materializes via count/collect, so its own plan is
+    # a LocalTableScan — the pair SOURCE is where the scale risk lives)
+    "q_dedup_clusters_pair_source": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
+        ).clusters_pair_source(spark, SF),
+        "expect": [
+            (r"ArrowEvalPython", "pairs come from the MinHash-LSH tier (Arrow signature pass)"),
+        ],
+        "forbid": [
+            (r"keys \[\d+\]: \[gram#", "no inverted-index gram-keyed self-join (Σ df² risk)"),
         ],
     },
 }
