@@ -347,8 +347,12 @@ class Table:
         on a 1M-row store rewrites a handful of files, not the table.
         (This is the merge-on-read/delete-manifest seam: with the Iceberg
         jar present it becomes MERGE INTO with bucket(n, col) partitioning.)
-        Falls back to a full overwrite if legacy unbucketed files exist,
-        since those may hold rows of any bucket."""
+        Raises ValueError if legacy unbucketed files exist — those may hold
+        rows of ANY bucket, so a bucket-scoped replace would silently drop
+        or duplicate rows. The remedy is ``compact()``: its rewrite
+        re-derives ``_bucket`` for every row (see _write_files), migrating a
+        legacy layout into the bucketed one (store-level entry point:
+        ProductStore.compact)."""
         parent = self.current_snapshot()
         old = parent.files if parent else []
         if any(self._file_bucket(f) is None for f in old):

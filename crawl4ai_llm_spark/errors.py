@@ -40,8 +40,10 @@ class DuplicateProductError(StorageError):
     rejects both, deterministically.
     """
 
-    def __init__(self, dup_ids: list[str] | str):
+    def __init__(self, dup_ids: list[str] | str, truncated: bool = False):
         if isinstance(dup_ids, str):
             dup_ids = [dup_ids]
         self.dup_ids = dup_ids
-        super().__init__(f"Duplicate product id(s): {', '.join(dup_ids)}")
+        self.truncated = truncated
+        suffix = " (sample: first by id; more conflicts exist)" if truncated else ""
+        super().__init__(f"Duplicate product id(s): {', '.join(dup_ids)}{suffix}")

@@ -113,6 +113,15 @@ class ProductData:
         for required in ("title", "url"):
             if required not in d:
                 raise ValueError(f"ProductData: {required} is required")
+        if "metadata" in d:
+            # engine-owned-metadata ruling (see update_products): the save
+            # path would silently overwrite a caller 'metadata' with the
+            # engine-stamped struct — reject loudly instead of dropping
+            raise ValueError(
+                "ProductData: 'metadata' is engine-owned (created_at/"
+                "updated_at stamping) and cannot be supplied as record data; "
+                "store caller data in top-level fields"
+            )
         known = {f for f in cls.__dataclass_fields__}
         model = cls(**{k: v for k, v in d.items() if k in known})
         model._extra = {k: v for k, v in d.items() if k not in known}  # type: ignore[attr-defined]

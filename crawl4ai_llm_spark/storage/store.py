@@ -257,18 +257,25 @@ class ProductStore:
         Returns the number of rows written."""
         batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
         try:
+            # samples are sorted BEFORE the limit so the error payload is
+            # deterministic run-to-run (an unordered .limit(20) returns
+            # whichever partitions answer first)
             intra = (
                 batch.groupBy("id").count().where(F.col("count") > 1).select("id")
             )
-            intra_sample = [r["id"] for r in intra.limit(20).collect()]
+            intra_sample = [r["id"] for r in intra.orderBy("id").limit(21).collect()]
             if intra_sample:
-                raise DuplicateProductError(sorted(intra_sample))
+                raise DuplicateProductError(
+                    intra_sample[:20], truncated=len(intra_sample) > 20
+                )
             existing = self._df()
             if existing is not None:
                 dups = existing.select("id").join(batch.select("id"), "id", "left_semi")
-                dup_sample = [r["id"] for r in dups.limit(20).collect()]
+                dup_sample = [r["id"] for r in dups.orderBy("id").limit(21).collect()]
                 if dup_sample:
-                    raise DuplicateProductError(sorted(dup_sample))
+                    raise DuplicateProductError(
+                        dup_sample[:20], truncated=len(dup_sample) > 20
+                    )
             n, max_seq = batch.agg(
                 F.count("*").alias("n"), F.max("_seq").alias("m")
             ).collect()[0]
@@ -303,21 +310,33 @@ class ProductStore:
                 # semi-join with the small batch broadcast as the build side
                 # cap the sample like the bulk tier: a caller replaying a
                 # huge batch must not pull every conflicting id to the driver
+                # (sorted before the limit — deterministic payload)
                 dups = [
                     r["id"]
                     for r in existing.select("id")
                     .join(F.broadcast(batch.select("id")), "id", "left_semi")
-                    .limit(20)
+                    .orderBy("id")
+                    .limit(21)
                     .collect()
                 ]
                 if dups:
-                    raise DuplicateProductError(sorted(dups))
+                    raise DuplicateProductError(dups[:20], truncated=len(dups) > 20)
             self.table.append(
                 batch, counters={"max_seq": self._next_seq() + len(ids) - 1}
             )
             return ids
         finally:
             batch.unpersist()
+
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Maintenance rewrite of the live file set — and the MIGRATION
+        entry point for legacy (pre-bucketing) warehouses: the rewrite
+        re-derives every row's id hash bucket (catalog.Table._write_files),
+        after which update/delete mutations (which require a fully bucketed
+        layout, catalog.Table.replace_buckets) work again."""
+        self.table.compact(
+            target_partitions or self.spark.sparkContext.defaultParallelism
+        )
 
     # ------------------------------------------------------------------ lookups
 

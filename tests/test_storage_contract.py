@@ -461,3 +461,60 @@ def test_compat_mode_restricts_filter_surface(spark, tmp_path):
     # matches nothing in compat mode (verified ref behavior, SURVEY §5.2)
     assert s.list_products(filters={"category": "tools"}).total == 0
     assert s.list_products(filters={"sku": "SKU0001"}).total == 1
+
+
+def test_legacy_unbucketed_layout_migrates_via_compact(spark, tmp_path):
+    """Mutations on a pre-bucketing (legacy) layout must fail loudly with
+    the compact remedy, and ProductStore.compact() must actually migrate
+    the layout so the same mutation then succeeds (ADVICE r02: the error's
+    remedy must be reachable)."""
+    from crawl4ai_llm_spark.catalog import Catalog
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    wh = str(tmp_path / "legacy_wh")
+    st = ProductStore(spark, wh)
+    st.save_products([sample_product(i) for i in range(6)])
+    # simulate the legacy layout: rewrite through an UNBUCKETED table handle
+    raw = Catalog(spark, wh).table("products", merge_schema=True)
+    raw.overwrite(st.table.read(), counters=st.table.current_snapshot().counters)
+    pid = "Test Store_SKU0001"
+    with pytest.raises(ValueError, match="compact"):
+        st.update_product(pid, {"title": "new"})
+    st.compact()
+    st.update_product(pid, {"title": "new"})
+    assert st.get_product(pid)["title"] == "new"
+    assert st.delete_product("Test Store_SKU0002")
+    assert st.list_products().total == 5
+
+
+def test_bulk_duplicate_sample_deterministic_and_truncated(spark, tmp_path):
+    """The DuplicateProductError payload is the first 20 conflicting ids BY
+    SORT ORDER (not partition arrival order) and flags the truncation
+    (ADVICE r02)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    st = ProductStore(spark, str(tmp_path / "wh_dup"))
+    batch = spark.range(30).select(
+        F.format_string("id%02d", F.col("id")).alias("id"),
+        F.lit("t").alias("title"),
+    )
+    st.save_products_df(batch)
+    with pytest.raises(DuplicateProductError) as ei:
+        st.save_products_df(batch)
+    assert ei.value.dup_ids == [f"id{i:02d}" for i in range(20)]
+    assert ei.value.truncated
+    assert "more conflicts exist" in str(ei.value)
+
+
+def test_model_rejects_caller_metadata():
+    """from_dict must reject an engine-owned 'metadata' key loudly — the
+    save path would otherwise silently overwrite it with the stamped struct
+    (ADVICE r02; engine-owned-metadata ruling, update_products parity)."""
+    from crawl4ai_llm_spark.models import ProductData
+
+    with pytest.raises(ValueError, match="metadata"):
+        ProductData.from_dict(
+            {"title": "t", "url": "https://x.y/p", "metadata": {"source": "import"}}
+        )
