@@ -93,9 +93,19 @@ class CrawlConfig:
     #   transits the driver. Mandatory at 10^10 URLs (~12 GB of filters at
     #   10 bits/key can't broadcast), and already faster when waves are
     #   CPU-bound (3,357 vs 3,021 urls/s at local[32], no latency model).
-    # Identical maybe_seen semantics (equality-tested at the probe level
-    # and via full-crawl oracle parity incl. kill/resume).
+    # - "auto": encodes that measured tradeoff — per wave, broadcast while
+    #   the filter footprint (non-empty buckets × bitmap bytes) fits
+    #   broadcast_budget_bytes, switching one-way to partitioned once it
+    #   outgrows the budget (filters only grow; the partitioned table's
+    #   existence IS the switched state, surviving kill/resume).
+    # Identical maybe_seen semantics across all three (equality-tested at
+    # the probe level, via full-crawl oracle parity incl. kill/resume, and
+    # via a mid-run auto switch parity test).
     bloom_transport: str = "broadcast"
+    # "auto" broadcast budget: above this filter footprint the per-wave
+    # driver collect + broadcast costs more than the cogroup shuffle — and
+    # far above it (GBs) the driver/broadcast path is simply not viable
+    broadcast_budget_bytes: int = 64 << 20
     # synthetic per-page parse cost (hash rounds) standing in for the CPU
     # work of real fetch+parse — 0 in parity tests; the scaling benchmark
     # sets it so per-URL compute dominates, as it does in production
@@ -150,6 +160,9 @@ class FrontierEngine:
         self._blooms: dict[int, bytes] | None = None
         # cuckoo tier (deletable) — bucket→packed table
         self._cuckoo: dict[int, bytes] | None = None
+        # per-wave resolved bloom transport (observability for the "auto"
+        # mode's switch point; tiny)
+        self.transport_log: list[str] = []
 
     # ------------------------------------------------------------------ setup
 
@@ -297,6 +310,26 @@ class FrontierEngine:
             "committed_at": datetime.now(timezone.utc),
         }
 
+    def _resolve_transport(self) -> str:
+        """C3 transport decision. "auto" picks from the CURRENT filter
+        footprint: broadcast below ``broadcast_budget_bytes`` (map-only
+        probe — wins short, latency-bound waves), partitioned above it
+        (cogrouped Arrow, nothing transits the driver). One-way in practice:
+        filters only grow, and once the partitioned filter table exists the
+        engine stays on it (its presence IS the switched state, so the
+        decision survives kill/resume without re-measuring)."""
+        cfg = self.config
+        if cfg.bloom_transport != "auto":
+            return cfg.bloom_transport
+        if self._blooms is not None:
+            size = sum(len(b) for b in self._blooms.values())
+            return "partitioned" if size > cfg.broadcast_budget_bytes else "broadcast"
+        if not self.blooms_table.is_empty():
+            return "partitioned"
+        # no filter state yet (fresh engine / post-resume): start broadcast,
+        # reassess from the rebuilt footprint next wave
+        return "broadcast"
+
     def _bloom_or(self, delta: dict[int, bytes]) -> None:
         import numpy as np
 
@@ -404,8 +437,12 @@ class FrontierEngine:
         seen_df = self.seen.read()
         bloom_bc = None
         probed = None
+        transport = self._resolve_transport() if cfg.seen_filter == "bloom" else None
+        if transport is not None:
+            self.transport_log.append(transport)
         if cfg.seen_filter in ("bloom", "cuckoo") and seen_df is not None:
-            if cfg.seen_filter == "bloom" and cfg.bloom_transport == "partitioned":
+            if cfg.seen_filter == "bloom" and transport == "partitioned":
+                self._blooms = None  # auto switch mid-run: free the driver copy
                 filters_df = self.blooms_table.read()
                 if filters_df is None:  # fresh engine / post-resume: full build
                     self.blooms_table.overwrite(
@@ -500,7 +537,7 @@ class FrontierEngine:
             # independent of the table writes (reads only the new_links
             # cache and prior filter state), so it rides the same pool —
             # wall time is max(commits, filter delta), not the sum
-            if cfg.seen_filter == "bloom" and cfg.bloom_transport == "partitioned":
+            if cfg.seen_filter == "bloom" and transport == "partitioned":
                 # cost ∝ new URLs + touched bitmaps; untouched buckets
                 # carry through inside the same cogrouped job — never via
                 # the driver
@@ -578,8 +615,9 @@ class FrontierEngine:
             )
         elif self.config.seen_filter == "bloom":
             self._blooms = None  # bloom can't delete — rebuild lazily from seen
-            if self.config.bloom_transport == "partitioned":
+            if not self.blooms_table.is_empty():
                 # drop the filter table; the next wave rebuilds from seen
+                # (covers "partitioned" and a switched "auto" run alike)
                 self.catalog.drop("seen_blooms")
                 self.blooms_table = self.catalog.table("seen_blooms")
         rows.unpersist()
@@ -605,7 +643,7 @@ class FrontierEngine:
             self._cuckoo = cuckoo_mod.update_filters(
                 rows.select("url_hash"), self._cuckoo, self.config.bloom_buckets
             )
-        elif self.config.seen_filter == "bloom" and self.config.bloom_transport == "partitioned":
+        elif self.config.seen_filter == "bloom" and self._resolve_transport() == "partitioned":
             if self.blooms_table.read() is not None:
                 self.blooms_table.overwrite(
                     bloom_mod.update_filter_rows(

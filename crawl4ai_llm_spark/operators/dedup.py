@@ -585,10 +585,16 @@ def connected_components(
     Adaptive, like a broadcast-join threshold: the pair list is bounded by
     the number of NEAR-DUPLICATES (tiny relative to the corpus), so below
     ``driver_threshold`` pairs a driver-side union-find answers in one
-    collect — paying 5 Spark jobs per propagation round to cluster a few
-    thousand edges is pure latency. Above it, the Pregel-style iterative
-    DataFrame loop (one join + one min-agg per round, O(diameter) rounds)
-    runs fully distributed.
+    collect — paying several Spark jobs per propagation round to cluster a
+    few thousand edges is pure latency. Above it, the Pregel-style
+    iterative DataFrame loop runs fully distributed; each round combines a
+    neighbor-min step (one join + min-agg) with a POINTER-DOUBLING shortcut
+    (labels joined to themselves: label[x] ← label[label[x]]), so
+    convergence is O(log diameter) rounds, not O(diameter) — a 10⁶-long
+    chain converges in ~20 rounds instead of 10⁶. Non-convergence within
+    ``max_iters`` raises instead of silently returning partial clusters.
+    Measured (tools/bench_cc.py): see BENCH.md for the per-round cost and
+    the driver/distributed crossover that sets ``driver_threshold``.
     """
     pairs = pairs.cache()
     n_pairs = pairs.count()  # materialize once — union branches read cache
@@ -619,36 +625,63 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # Iterative loops MUST truncate lineage per round: caching shortcuts
+    # compute but the LOGICAL plan still nests, and the shortcut self-join
+    # references the round's plan twice — exponential plan growth that
+    # overflows the analyzer stack by ~round 12. localCheckpoint(eager)
+    # materializes AND cuts the plan (on a cluster with lineage-loss
+    # concerns, swap for reliable checkpoint(dir)).
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
-    ).cache()
-    labels.count()
+    ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.u, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        ).cache()  # feeds both sides of the shortcut self-join
+        # pointer-doubling shortcut: label[x] ← min(label[x], label[label[x]])
+        # (a label is always some member's doc_id, so the self-join resolves)
+        # — halves the remaining path length every round, O(log diameter)
+        parent = stepped.select(
+            F.col("doc_id").alias("_pid"), F.col("cluster_id").alias("_pparent")
+        )
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            stepped.join(parent, stepped.cluster_id == parent._pid, "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_pparent"), F.col("cluster_id"))
+                ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
             .where(F.col("cluster_id") != F.col("old"))
             .count()
         )
-        labels.unpersist()
+        stepped.unpersist()
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # partial labels would silently merge/split clusters downstream
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters}; "
+            "raise max_iters (rounds needed ≈ log2(component diameter))"
+        )
     return labels
 
 

@@ -202,6 +202,40 @@ def test_partitioned_bloom_engine_matches_oracle(spark, tmp_path, oracle):
     assert probed.where(~F.col("maybe_seen")).count() == 0
 
 
+def test_auto_transport_switches_mid_run_with_parity(spark, tmp_path, oracle):
+    """bloom_transport='auto' must START on broadcast (filter footprint
+    under the budget: 15 seed buckets × 16 KiB), SWITCH one-way to
+    partitioned once the footprint outgrows broadcast_budget_bytes, and the
+    crawl's final seen set must still exactly equal the oracle — the
+    transport choice is pure mechanism, never semantics."""
+    wh = str(tmp_path / "auto_wh")
+    cfg = CrawlConfig(
+        delay=CFG["delay"],
+        wave_seconds=CFG["wave_seconds"],
+        max_retries=CFG["max_retries"],
+        max_depth=CFG["max_depth"],
+        max_waves=CFG["max_waves"],
+        bloom_transport="auto",
+        # seeds fill ~15 of 64 buckets (~245 KiB) — under budget; after
+        # wave 1's discoveries most buckets are non-empty (~1 MiB) — over
+        broadcast_budget_bytes=400_000,
+        graph=SPEC,
+    )
+    eng = FrontierEngine(spark, wh, cfg)
+    eng.run(seeds=SEEDS)
+    assert eng.transport_log[0] == "broadcast"
+    assert "partitioned" in eng.transport_log, eng.transport_log
+    sw = eng.transport_log.index("partitioned")
+    assert all(t == "partitioned" for t in eng.transport_log[sw:]), "switch must be one-way"
+    got = {r["url"] for r in eng.seen.read().select("url").collect()}
+    assert got == oracle.seen
+    # the switched state survives kill/resume: a fresh engine resolves
+    # straight to partitioned from the filter table's existence
+    eng2 = FrontierEngine(spark, wh, cfg)
+    eng2.resume()
+    assert eng2._resolve_transport() == "partitioned"
+
+
 def test_resume_survives_torn_manifest_tmp(spark, tmp_path, oracle):
     """A crash BETWEEN the manifest tmp-write and its atomic rename leaves a
     snap-N.json.tmp-<uuid> file in meta/. snapshots() must ignore it (it was

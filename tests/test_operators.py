@@ -168,6 +168,19 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_connected_components_distributed_pointer_doubling(spark):
+    """The distributed tier must converge in O(log diameter) rounds: a
+    300-node chain resolves within 15 rounds only via the pointer-doubling
+    shortcut (plain min-label needs 299 rounds — and non-convergence now
+    raises instead of silently returning split clusters)."""
+    pairs = spark.range(299).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels = dedup.connected_components(pairs, max_iters=15, driver_threshold=0)
+    assert labels.count() == 300
+    assert labels.where(F.col("cluster_id") != 0).count() == 0
+
+
 def test_df_cap_kills_stop_phrase_pair_explosion(spark):
     """An ultra-common shingle (planted in EVERY doc) must not explode the
     inverted-index candidate count: ungated it alone emits n(n-1)/2 pairs —

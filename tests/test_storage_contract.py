@@ -265,6 +265,29 @@ def test_point_lookup_reads_one_bucket(store):
     assert store.get_product(ids[0])["title"] == "Test Product 0"
 
 
+def test_point_lookup_arrow_path_matches_spark(spark, tmp_path):
+    """S6 fast path: the driver-side pyarrow read must return EXACTLY the
+    record the distributed Spark read returns — nested maps, struct
+    metadata, timestamp values and all — and decline gracefully above its
+    file-count budget."""
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    st = ProductStore(spark, str(tmp_path / "arrow_wh"))
+    ids = st.save_products([sample_product(i) for i in range(10)])
+    # a second commit with a NEW column exercises the schema-unification
+    # (mergeSchema analog) in the arrow path
+    st.save_products([{**sample_product(99), "category": "tools"}])
+    for pid in (ids[3], "Test Store_SKU0099"):
+        arrow_rec = st.get_product(pid)
+        st.ARROW_LOOKUP_MAX_FILES = 0  # instance override → Spark fallback
+        spark_rec = st.get_product(pid)
+        del st.ARROW_LOOKUP_MAX_FILES
+        assert arrow_rec == spark_rec, pid
+    assert arrow_rec["attributes"] == {"color": "red", "size": "M"}  # map shape
+    with pytest.raises(ProductNotFoundError):
+        st.get_product("nope")
+
+
 def test_update_rewrites_only_touched_buckets(store):
     """A small update commits new files ONLY for the touched buckets; every
     other bucket's files carry over by reference (VERDICT r01 item 6)."""
