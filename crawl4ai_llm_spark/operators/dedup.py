@@ -577,7 +577,7 @@ def q_dedup_embedding_allpairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 1_000_000
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 4_000_000
 ) -> DataFrame:
     """Min-label propagation over an undirected pair list → (doc_id,
     cluster_id) where cluster_id = min doc id reachable.
@@ -593,8 +593,14 @@ def connected_components(
     convergence is O(log diameter) rounds, not O(diameter) — a 10⁶-long
     chain converges in ~20 rounds instead of 10⁶. Non-convergence within
     ``max_iters`` raises instead of silently returning partial clusters.
-    Measured (tools/bench_cc.py): see BENCH.md for the per-round cost and
-    the driver/distributed crossover that sets ``driver_threshold``.
+
+    ``driver_threshold`` is measured, not guessed (tools/bench_cc.py,
+    table in BENCH.md): the driver tier wins at every size it can hold —
+    4M edges cluster in 37 s driver-side vs 77 s distributed (the Pregel
+    loop pays ~5-8 s of job scheduling per round × ~log2(diameter) rounds
+    regardless of data size). The 4M default is a driver-MEMORY bound
+    (~0.5 GB of collected rows), not a speed crossover; above it the
+    distributed loop is the only tier that can hold the edges at all.
     """
     pairs = pairs.cache()
     n_pairs = pairs.count()  # materialize once — union branches read cache

@@ -370,28 +370,31 @@ class ProductStore:
     # (footer scans grow linearly; a store that hot needs compact() anyway)
     ARROW_LOOKUP_MAX_FILES = 64
 
-    def _arrow_point_read(self, product_id: str) -> tuple[bool, dict[str, Any] | None]:
-        """Driver-side pyarrow fast path for S6 — (handled, record).
+    def _arrow_read_ids(
+        self, ids: list[str]
+    ) -> tuple[bool, dict[str, dict[str, Any]] | None]:
+        """Driver-side pyarrow fast path for S6/S7 — (handled, {id: record}).
 
-        A bucket-pruned single-row read is still ~40 Spark per-query
+        A bucket-pruned lookup through Spark is still ~40 per-query
         overheads (~0.2 s measured); mirroring catalog.append_pylist's
-        rationale, the driver reads the ONE bucket's parquet files directly:
-        unify the footers' schemas (the mergeSchema analog), then a
+        rationale, the driver reads the ids' bucket files directly: unify
+        the footers' schemas (the mergeSchema analog), then a
         predicate-pushdown dataset scan on id (row groups skipped by
-        min/max stats). Falls back to the Spark path — (False, None) — when
-        the bucket holds too many files or the schemas can't unify.
+        min/max stats — 32 ms cold / 5 ms warm at 200k rows). Falls back
+        to the Spark path — (False, None) — when the buckets hold too many
+        files or the schemas can't unify.
         """
         snap = self.table.current_snapshot()
         if snap is None:
-            return True, None  # empty store: definitively not found
-        bucket = next(iter(self._buckets_of([product_id])))
+            return True, {}  # empty store: definitively not found
+        buckets = self._buckets_of(ids)
         files = [
             f
             for f in snap.files
-            if (b := Table._file_bucket(f)) is None or b == bucket
+            if (b := Table._file_bucket(f)) is None or b in buckets
         ]
         if not files:
-            return True, None
+            return True, {}
         if len(files) > self.ARROW_LOOKUP_MAX_FILES:
             return False, None
         try:
@@ -403,19 +406,20 @@ class ProductStore:
         try:
             schema = pa.unify_schemas([pq.read_schema(f) for f in files])
             tbl = ds.dataset(files, format="parquet", schema=schema).to_table(
-                filter=ds.field("id") == product_id
+                filter=ds.field("id").isin(ids)
             )
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             return False, None  # un-unifiable schemas etc.: Spark's mergeSchema decides
-        if tbl.num_rows == 0:
-            return True, None
-        tbl = tbl.slice(0, 1)
-        rec = {
-            name: _arrow_cell(col.to_pylist()[0], col.type)
-            for name, col in zip(tbl.schema.names, tbl.columns)
-            if name != "_seq"
-        }
-        return True, rec
+        cols = [
+            (n, c)
+            for n, c in zip(tbl.schema.names, tbl.columns)
+            if n != "_seq"
+        ]
+        recs: dict[str, dict[str, Any]] = {}
+        for i in range(tbl.num_rows):
+            rec = {n: _arrow_cell(c[i].as_py(), c.type) for n, c in cols}
+            recs[rec["id"]] = rec
+        return True, recs
 
     def get_product(self, product_id: str) -> dict[str, Any]:
         """S6 — point lookup; ProductNotFoundError if absent. Reads only the
@@ -423,11 +427,11 @@ class ProductStore:
         the bucket's file count is small (the common case; <50 ms at 200k
         rows vs ~0.2 s for the distributed read), else the same
         bucket-pruned Spark scan."""
-        handled, rec = self._arrow_point_read(product_id)
+        handled, recs = self._arrow_read_ids([product_id])
         if handled:
-            if rec is None:
+            if not recs:
                 raise ProductNotFoundError([product_id])
-            return rec
+            return recs[product_id]
         df = self._df_for_ids([product_id])
         if df is not None:
             rows = df.where(F.col("id") == F.lit(product_id)).drop("_seq").collect()
@@ -437,21 +441,20 @@ class ProductStore:
 
     def get_products(self, product_ids: list[str]) -> list[dict[str, Any]]:
         """S7 — batch lookup, input-order preserving, ALL missing ids listed
-        before any result is returned (ref json_storage.py:353-361)."""
+        before any result is returned (ref json_storage.py:353-361). Shares
+        the S6 pyarrow fast path (input order is restored from the request
+        list, so the scan order never matters)."""
         if not product_ids:
             return []
-        df = self._df_for_ids(product_ids)
-        found: dict[str, dict] = {}
-        if df is not None:
-            ids_lit = F.array(*[F.lit(i) for i in product_ids])
-            rows = (
-                df.where(F.col("id").isin(product_ids))
-                .withColumn("_rank", F.array_position(ids_lit, F.col("id")))
-                .orderBy("_rank")
-                .drop("_rank", "_seq")
-                .collect()
-            )
-            found = {r["id"]: r.asDict(recursive=True) for r in rows}
+        handled, found = self._arrow_read_ids(product_ids)
+        if not handled:
+            df = self._df_for_ids(product_ids)
+            found = {}
+            if df is not None:
+                rows = (
+                    df.where(F.col("id").isin(product_ids)).drop("_seq").collect()
+                )
+                found = {r["id"]: r.asDict(recursive=True) for r in rows}
         missing = [i for i in product_ids if i not in found]
         if missing:
             raise ProductNotFoundError(missing)

@@ -286,6 +286,13 @@ def test_point_lookup_arrow_path_matches_spark(spark, tmp_path):
     assert arrow_rec["attributes"] == {"color": "red", "size": "M"}  # map shape
     with pytest.raises(ProductNotFoundError):
         st.get_product("nope")
+    # S7 shares the fast path: input order preserved, all missing listed
+    batch = st.get_products([ids[5], ids[1], "Test Store_SKU0099"])
+    assert [r["id"] for r in batch] == [ids[5], ids[1], "Test Store_SKU0099"]
+    assert batch[2]["category"] == "tools"
+    with pytest.raises(ProductNotFoundError) as ei:
+        st.get_products([ids[0], "ghost-a", "ghost-b"])
+    assert ei.value.missing_ids == ["ghost-a", "ghost-b"]
 
 
 def test_update_rewrites_only_touched_buckets(store):
