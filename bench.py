@@ -47,6 +47,37 @@ HEADLINE = [
 ]
 
 
+def cpu_state_control() -> dict:
+    """Hardware-state calibration anchor: a fixed numpy uint64
+    multiply+mod pass, measured single-threaded AND with all cores busy
+    (numpy releases the GIL, so threads are real parallelism). The code
+    never changes, so run-to-run variation is pure machine state — this
+    box's cores clock down 1.3-1.8× under sustained ALL-CORE load (the
+    single-thread number barely moves), which is exactly the regime Spark
+    queries run in. Divide cross-round query deltas by the ratio of
+    `allcore_sec` before calling them code regressions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    def one_pass(a):
+        t0 = time.time()
+        ((a * np.uint64(2_654_435_761)) % np.uint64(1_000_000_007)).sum()
+        return time.time() - t0
+
+    single = np.arange(50_000_000, dtype=np.uint64)
+    single_sec = min(one_pass(single) for _ in range(3))  # min: first pass pays faults
+
+    n = default_parallelism()
+    arrays = [np.arange(8_000_000, dtype=np.uint64) for _ in range(n)]
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(one_pass, arrays))  # warm pass (faults)
+        t0 = time.time()
+        list(pool.map(one_pass, arrays))
+        allcore_sec = time.time() - t0
+    return {"single_sec": round(single_sec, 3), "allcore_sec": round(allcore_sec, 3)}
+
+
 def store_point_lookup(spark, tmpdir: str, n_rows: int = 200_000) -> float:
     """Bucketed point-lookup latency on a populated store: the id's hash
     bucket prunes the read to 1/n of the files (catalog.py bucket layout)."""
@@ -151,6 +182,9 @@ def main() -> None:
         ups, n_urls = crawl_throughput(spark, tmp)
     print(f"# crawl: {n_urls} urls @ {ups:.0f}/s", file=sys.stderr)
 
+    cpu_ctl = cpu_state_control()
+    print(f"# cpu state control (fixed numpy pass): {cpu_ctl}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -164,6 +198,7 @@ def main() -> None:
                 "crawl_urls": n_urls,
                 "q_list_page_warm": warm_list_page,
                 "store_point_lookup_sec": round(lookup_sec, 3),
+                "cpu_state_control": cpu_ctl,
                 "cpus": cpus,
             }
         )
