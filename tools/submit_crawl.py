@@ -30,10 +30,11 @@ def main() -> None:
     ap.add_argument(
         "--bloom-transport",
         default="broadcast",
-        choices=["broadcast", "partitioned"],
+        choices=["broadcast", "partitioned", "auto"],
         help="partitioned = filters in a snapshot table, cogrouped probe/update "
         "(the 10^10-URL shape; nothing transits the driver). broadcast is "
-        "faster at small wave sizes; see CrawlConfig.bloom_transport",
+        "faster at small wave sizes. auto switches one-way at the broadcast "
+        "budget; see CrawlConfig.bloom_transport",
     )
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
