@@ -38,6 +38,7 @@ HEADLINE = [
     ("q_quality_score", textops.q_quality_score),
     ("q_dedup_exact", dedup.q_dedup_exact),
     ("q_dedup_minhash_lsh", dedup.q_dedup_minhash_lsh),
+    ("q_dedup_incremental", dedup.q_dedup_incremental),
     ("q_dedup_simhash", dedup.q_dedup_simhash),
     ("q_dedup_embedding", dedup.q_dedup_embedding),
     ("q_dedup_clusters", dedup.q_dedup_clusters),

@@ -293,10 +293,11 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Band the signature (32 bands × 4 rows), bucket-join within bands.
-    Band keys are near-uniform, so the self-join per (band, key) bucket is
-    skew-free — this is what replaces the n² pair scan at scale."""
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — one per signature band (32 bands × 4
+    rows hashed to a key). This is the layout the STORED side of
+    incremental dedup keeps on disk: appended at ingest, equi-joined by
+    every arriving batch."""
     bands = F.array(
         *[
             F.struct(
@@ -311,9 +312,16 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bd = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signature (32 bands × 4 rows), bucket-join within bands.
+    Band keys are near-uniform, so the self-join per (band, key) bucket is
+    skew-free — this is what replaces the n² pair scan at scale."""
+    bd = band_rows(sig)
     a, b = bd.alias("a"), bd.alias("b")
     return (
         a.join(
@@ -338,6 +346,62 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sig = minhash_signatures(shingles).cache()
     cand = lsh_candidates(sig)
     return _jaccard_pairs(shingles, JACCARD_TAU, candidates=cand)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: a NEW crawl batch answered against the STORED
+    corpus — the shape a production ingest actually runs (corpus-at-once
+    dedup is a backfill job; every arriving batch must be checked against
+    10⁹ stored docs WITHOUT rescanning them).
+
+    The stored side's MinHash band keys (band_rows) are computed once at
+    ingest and live in an append-only table; an arriving batch computes
+    only ITS signatures — per-batch cost ∝ batch bytes — and equi-joins
+    the band-key table, so candidates ∝ true duplicates and the stored
+    corpus is touched only at the matching keys (at scale: the band table
+    is bucketed by key, making this a pruned join). Simulation here: the
+    batch is the corpus re-crawled under INFLUX_OFFSET ids. Verification
+    is exact full-set Jaccard, so the oracle is the plan-independent
+    all-pairs batch×corpus SQL (true-pair J on this corpus is ≥ 0.9 —
+    band miss-probability ≤ 1.5e-15, deterministic at gate scale).
+
+    Output: (new_id, orig_id, jaccard) — every batch doc paired with each
+    stored doc it duplicates (self-copies score 1.0)."""
+    shingles = doc_shingles(spark, sf).cache()
+    new_sh = shingles.select(
+        (F.col("doc_id") + INFLUX_OFFSET).alias("doc_id"), "grams"
+    )
+    stored_bd = band_rows(minhash_signatures(shingles))  # ingest-time table
+    batch_bd = band_rows(minhash_signatures(new_sh))  # per-batch work
+    cand = (
+        batch_bd.alias("n")
+        .join(
+            stored_bd.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("orig_id")
+        )
+        .distinct()
+    )
+    ga = new_sh.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("grams_a"))
+    gb = shingles.select(F.col("doc_id").alias("orig_id"), F.col("grams").alias("grams_b"))
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    scored = (
+        F.broadcast(cand)
+        .join(ga, "new_id")
+        .join(gb, "orig_id")
+        .select(
+            "new_id",
+            "orig_id",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+            F.size("grams_a").alias("na"),
+            F.size("grams_b").alias("nb"),
+        )
+    )
+    return scored.where(j >= JACCARD_TAU).select(
+        "new_id", "orig_id", F.round(j, 6).alias("jaccard")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -469,7 +533,9 @@ def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
     """Re-crawled-corpus simulation (the embedding analog of
     q_dedup_exact's union trick): every vector arrives twice, the copy
     perturbed by a deterministic POSITIVE per-dimension scale factor
-    (1.0–1.032). Positive scaling preserves every coordinate sign, so a
+    (1.0–1.032). Positive scaling preserves every coordinate sign (scales
+    ≥ 1, so not even the IEEE-underflow edge that
+    test_sign_band_recall_property documents applies), so a
     true duplicate lands in the SAME sign-LSH band keys by construction —
     recall of the banded plan is provably 1, which is what lets the
     oracle stay the plan-independent all-pairs form. Copy ids carry the
@@ -830,6 +896,29 @@ ORACLES: dict[str, str] = {
     # this config has miss-probability ~1.5e-15 for the J≥0.9 pairs in the
     # data, and verification makes precision exact.
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+    # incremental tier: plan-independent all-pairs batch×corpus form (the
+    # batch is the corpus re-crawled under the influx offset; no ordering
+    # constraint — every batch doc pairs with every stored doc it matches,
+    # including its own original at J=1.0)
+    # the shared-gram prefilter is exactness-preserving (J ≥ tau > 0
+    # requires a nonempty intersection), it just spares DuckDB the n²
+    # list_intersect scan
+    "q_dedup_incremental": f"""
+        WITH g AS ({_SQL_GRAMS}),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS bd, c.doc_id AS od
+            FROM e a JOIN e c USING (gram)
+        )
+        SELECT b.doc_id + {INFLUX_OFFSET} AS new_id, o.doc_id AS orig_id,
+               ROUND(len(list_intersect(b.grams, o.grams))::DOUBLE
+                     / (len(b.grams) + len(o.grams) - len(list_intersect(b.grams, o.grams))),
+                     6) AS jaccard
+        FROM cand JOIN g b ON b.doc_id = cand.bd JOIN g o ON o.doc_id = cand.od
+        WHERE len(list_intersect(b.grams, o.grams))::DOUBLE
+              / (len(b.grams) + len(o.grams) - len(list_intersect(b.grams, o.grams)))
+              >= {JACCARD_TAU}
+    """,
     "q_dedup_simhash": _SQL_SIMHASH
     + f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -866,6 +955,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_clusters": q_dedup_clusters,

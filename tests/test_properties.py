@@ -135,3 +135,43 @@ def test_bloom_bitmap_core_no_false_negatives(keys):
     # probe exactly as both transports do
     bits2 = np.unpackbits(np.frombuffer(packed, dtype=np.uint8))
     assert bits2[bm._positions(h)].all(axis=1).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=1e-3, max_value=10, allow_nan=False),
+            st.booleans(),
+        ).map(lambda t: -t[0] if t[1] else t[0]),
+        min_size=64,
+        max_size=64,
+    ),
+    st.lists(st.floats(min_value=1e-3, max_value=100, allow_nan=False), min_size=64, max_size=64),
+    st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_sign_band_recall_property(vec, scales, flips):
+    """The dedup sign-banding contract, engine-free: (a) a POSITIVE
+    per-dimension rescale never changes ANY band key (recall 1 on the
+    influx construction, for any scale pattern — not just the shipped
+    one), and (b) pigeonhole: ≤3 sign flips leave ≥1 of the 4 bands
+    identical.
+
+    Magnitudes are bounded away from the subnormal range: the first draft
+    of this test FOUND that claim (a) holds in ℝ but not raw IEEE — a
+    ~1e-320 coordinate times a 1e-3 scale underflows to +0.0 and flips
+    its sign test. Embedding coordinates live around 1e-3..1, so the
+    bounded property is the physically meaningful one; anyone feeding
+    subnormal embeddings into sign-LSH has bigger problems."""
+
+    def band_keys(v):
+        return [
+            sum((1 << j) for j in range(16) if v[b * 16 + j] > 0) for b in range(4)
+        ]
+
+    base = band_keys(vec)
+    scaled = band_keys([x * s for x, s in zip(vec, scales)])
+    assert scaled == base  # (a) positive scaling: every band identical
+
+    flipped = band_keys([-x if i in flips else x for i, x in enumerate(vec)])
+    assert any(a == b for a, b in zip(base, flipped))  # (b) pigeonhole
