@@ -61,20 +61,26 @@ def cpu_state_control() -> dict:
 
     import numpy as np
 
-    def one_pass(a):
+    def one_pass(a, reps: int = 1):
         t0 = time.time()
-        ((a * np.uint64(2_654_435_761)) % np.uint64(1_000_000_007)).sum()
+        for _ in range(reps):
+            ((a * np.uint64(2_654_435_761)) % np.uint64(1_000_000_007)).sum()
         return time.time() - t0
 
     single = np.arange(50_000_000, dtype=np.uint64)
     single_sec = min(one_pass(single) for _ in range(3))  # min: first pass pays faults
+    del single
 
+    # per-thread arrays kept small (2M × 8 B = 16 MB; ~1 GB transient with
+    # temporaries at 32 threads) so the calibration never swaps/OOMs a box
+    # already running Spark — swapping would corrupt the very anchor this
+    # measures; reps keep each timed pass long enough to be stable
     n = default_parallelism()
-    arrays = [np.arange(8_000_000, dtype=np.uint64) for _ in range(n)]
+    arrays = [np.arange(2_000_000, dtype=np.uint64) for _ in range(n)]
     with ThreadPoolExecutor(max_workers=n) as pool:
         list(pool.map(one_pass, arrays))  # warm pass (faults)
         t0 = time.time()
-        list(pool.map(one_pass, arrays))
+        list(pool.map(lambda a: one_pass(a, reps=4), arrays))
         allcore_sec = time.time() - t0
     return {"single_sec": round(single_sec, 3), "allcore_sec": round(allcore_sec, 3)}
 

@@ -614,12 +614,28 @@ class FrontierEngine:
                 rows.select("url_hash"), self._cuckoo, self.config.bloom_buckets, delete=True
             )
         elif self.config.seen_filter == "bloom":
-            self._blooms = None  # bloom can't delete — rebuild lazily from seen
+            self._blooms = None  # bloom can't delete — rebuild from seen
             if not self.blooms_table.is_empty():
-                # drop the filter table; the next wave rebuilds from seen
-                # (covers "partitioned" and a switched "auto" run alike)
-                self.catalog.drop("seen_blooms")
-                self.blooms_table = self.catalog.table("seen_blooms")
+                # rebuild the filter TABLE from the remaining seen set in
+                # place (covers "partitioned" and a switched "auto" run
+                # alike). Rebuilding — not dropping — matters for "auto":
+                # a dropped table would make _resolve_transport fall back
+                # to broadcast and collect the entire multi-GB filter set
+                # onto the driver, the exact regime the budget ruled out;
+                # it also keeps the one-way-switch invariant.
+                remaining_seen = self.seen.read()
+                if remaining_seen is None:
+                    self.catalog.drop("seen_blooms")
+                    self.blooms_table = self.catalog.table("seen_blooms")
+                else:
+                    self.blooms_table.overwrite(
+                        bloom_mod.update_filter_rows(
+                            remaining_seen.select("url_hash"),
+                            None,
+                            self.config.bloom_buckets,
+                        ),
+                        counters={"wave": wave},
+                    )
         rows.unpersist()
         return n
 

@@ -337,8 +337,10 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup: candidates from banding, then exact Jaccard
-    verification — same output contract as q_dedup_ngram_jaccard, built
-    without the all-pairs shingle join. Both diamond inputs are cached:
+    verification over FULL gram sets (no df-cap — that is the ngram tier's
+    candidate-generation policy; on this corpus the outputs coincide, and
+    each tier's oracle states its own semantics), built without the
+    all-pairs shingle join. Both diamond inputs are cached:
     shingles feed banding AND verification, and the signature table feeds
     BOTH sides of the band self-join (without the cache the Arrow signature
     pass runs twice — measured 2.7× on the sf0.1 bench)."""
@@ -367,6 +369,10 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: (new_id, orig_id, jaccard) — every batch doc paired with each
     stored doc it duplicates (self-copies score 1.0)."""
+    # session-lifetime cache BY DESIGN: Spark's CacheManager dedupes by
+    # canonical plan, so this is the SAME cache entry the minhash/clusters
+    # queries share (MBs at bench scale); unpersisting here would evict it
+    # out from under them mid-suite
     shingles = doc_shingles(spark, sf).cache()
     new_sh = shingles.select(
         (F.col("doc_id") + INFLUX_OFFSET).alias("doc_id"), "grams"
@@ -592,6 +598,8 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     threshold, so the banded plan returns EXACTLY the all-pairs answer —
     the oracle checks that claim against the plan-independent all-pairs SQL
     at sf0.01."""
+    # session-lifetime cache by design (feeds band table + both verify
+    # sides; re-runs reuse it via CacheManager plan-dedupe; MBs at bench sf)
     influx = embedding_influx(spark, sf).cache()
     bk = influx.select("vec_id", F.explode(sign_band_keys(F.col("v"))).alias("bk")).select(
         "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -822,6 +830,25 @@ _SQL_JACCARD_PAIRS = f"""
           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {JACCARD_TAU}
 """
 
+# UNCAPPED exact form for the MinHash tier (full gram sets end-to-end):
+# candidates = any shared gram (exactness-preserving prefilter), no df-cap.
+_SQL_JACCARD_PAIRS_UNCAPPED = f"""
+    WITH g AS ({_SQL_GRAMS}),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT ca.doc_id AS doc_a, cb.doc_id AS doc_b
+        FROM e ca JOIN e cb
+          ON ca.gram = cb.gram AND ca.doc_id < cb.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {JACCARD_TAU}
+"""
+
 _SQL_CHARHASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(regexp_extract_all({col}, '.'), c -> CAST(ascii(c) AS BIGINT))), "
@@ -892,10 +919,16 @@ ORACLES: dict[str, str] = {
         FROM influx GROUP BY text
     """,
     "q_dedup_ngram_jaccard": _SQL_JACCARD_PAIRS,
-    # MinHash-LSH is verified against the EXACT Jaccard oracle: banding at
-    # this config has miss-probability ~1.5e-15 for the J≥0.9 pairs in the
-    # data, and verification makes precision exact.
-    "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+    # MinHash-LSH is verified against the EXACT UNCAPPED Jaccard oracle:
+    # its signatures/verification use FULL gram sets (no df-cap — that is
+    # the ngram tier's candidate-generation policy, not this plan's), so
+    # its oracle must not cap either; on a corpus where a qualifying pair
+    # shares only over-cap grams the two tiers now legitimately differ.
+    # The shared-gram prefilter below is exactness-preserving (J ≥ tau > 0
+    # needs a nonempty intersection). Banding at this config has
+    # miss-probability ~1.5e-15 for the J≥0.9 pairs in the data, and
+    # verification makes precision exact.
+    "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS_UNCAPPED,
     # incremental tier: plan-independent all-pairs batch×corpus form (the
     # batch is the corpus re-crawled under the influx offset; no ordering
     # constraint — every batch doc pairs with every stored doc it matches,
@@ -932,8 +965,9 @@ ORACLES: dict[str, str] = {
     # connected components via recursive transitive closure — tractable in
     # the oracle because dup clusters are tiny; the Spark side is the
     # iterative min-label loop that scales
+    # clusters consume the LSH (uncapped) pair tier — oracle matches it
     "q_dedup_clusters": f"""
-        WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+        WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS_UNCAPPED}),
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION

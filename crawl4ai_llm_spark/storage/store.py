@@ -196,6 +196,19 @@ class ProductStore:
 
     # ------------------------------------------------------------------ writes
 
+    @staticmethod
+    def _reject_caller_metadata(positions: list[int]) -> None:
+        # engine-owned-metadata ruling (SURVEY §2.2 D3): the save path
+        # stamps the metadata struct unconditionally, so a caller-supplied
+        # 'metadata' would be silently destroyed — reject loudly instead,
+        # the same policy update_products and ProductData.from_dict apply
+        if positions:
+            raise ValueError(
+                f"records at positions {positions[:20]} supply 'metadata', which is "
+                "engine-owned (created_at/updated_at stamping); store caller data "
+                "in top-level fields"
+            )
+
     def _rows_df(self, rows: list[dict[str, Any]]) -> DataFrame:
         """Dicts → DataFrame with the union of all keys (missing ⇒ null),
         preserving arbitrary undeclared fields (schema-on-read parity)."""
@@ -281,6 +294,12 @@ class ProductStore:
         run as distributed counts and the ids never leave the executors —
         this is the path that ingests millions of records per commit.
         Returns the number of rows written."""
+        if "metadata" in batch.columns:
+            raise ValueError(
+                "batch supplies a 'metadata' column, which is engine-owned "
+                "(created_at/updated_at stamping); store caller data in "
+                "top-level columns"
+            )
         batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
         try:
             # samples are sorted BEFORE the limit so the error payload is
@@ -319,6 +338,7 @@ class ProductStore:
         """
         if not products:
             return []
+        self._reject_caller_metadata([i for i, p in enumerate(products) if "metadata" in p])
         batch = self._rows_df(products)  # schema-on-read inference
         batch = self._ensure_id_and_stamps(batch, self._next_seq())
         batch = batch.cache()

@@ -236,6 +236,40 @@ def test_auto_transport_switches_mid_run_with_parity(spark, tmp_path, oracle):
     assert eng2._resolve_transport() == "partitioned"
 
 
+def test_evict_keeps_partitioned_filter_state(spark, tmp_path):
+    """evict_from_seen on a partitioned/switched-auto run must REBUILD the
+    filter table from the remaining seen set, not drop it: a dropped table
+    would make auto's next wave fall back to a driver-side broadcast
+    rebuild of the entire filter set (the regime the budget ruled out) and
+    break the one-way-switch invariant (code-review r03 finding)."""
+    wh = str(tmp_path / "evict_part_wh")
+    cfg = CrawlConfig(
+        delay=CFG["delay"],
+        wave_seconds=CFG["wave_seconds"],
+        max_retries=CFG["max_retries"],
+        max_depth=CFG["max_depth"],
+        max_waves=2,
+        bloom_transport="auto",
+        broadcast_budget_bytes=1,  # switch immediately
+        graph=SPEC,
+    )
+    eng = FrontierEngine(spark, wh, cfg)
+    eng.run(seeds=SEEDS)
+    assert eng.transport_log[-1] == "partitioned"
+    victims = [r["url"] for r in eng.seen.read().limit(3).collect()]
+    assert eng.evict_from_seen(victims) == len(victims)
+    # filter table survives (rebuilt, not dropped) → auto stays partitioned
+    assert not eng.blooms_table.is_empty()
+    assert eng._resolve_transport() == "partitioned"
+    # and the rebuilt filter has no false negatives on the remaining seen set
+    from crawl4ai_llm_spark.frontier import bloom as bm
+
+    probed = bm.probe_cogrouped(
+        eng.seen.read().select("url_hash"), eng.blooms_table.read(), cfg.bloom_buckets
+    )
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
 def test_resume_survives_torn_manifest_tmp(spark, tmp_path, oracle):
     """A crash BETWEEN the manifest tmp-write and its atomic rename leaves a
     snap-N.json.tmp-<uuid> file in meta/. snapshots() must ignore it (it was

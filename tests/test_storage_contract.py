@@ -548,3 +548,26 @@ def test_model_rejects_caller_metadata():
         ProductData.from_dict(
             {"title": "t", "url": "https://x.y/p", "metadata": {"source": "import"}}
         )
+
+
+def test_save_rejects_caller_metadata(store, spark, tmp_path):
+    """The save paths must reject an engine-owned 'metadata' loudly — the
+    stamp would otherwise silently destroy it (code-review r03: the ruling
+    applies at the save boundary, not only in the opt-in model tier)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    with pytest.raises(ValueError, match="engine-owned"):
+        store.save_products(
+            [sample_product(90), {**sample_product(91), "metadata": {"source": "x"}}]
+        )
+    st = ProductStore(spark, str(tmp_path / "meta_bulk"))
+    with pytest.raises(ValueError, match="engine-owned"):
+        st.save_products_df(
+            spark.range(3).select(
+                F.concat(F.lit("m"), F.col("id").cast("string")).alias("id"),
+                F.lit("t").alias("title"),
+                F.struct(F.lit("x").alias("source")).alias("metadata"),
+            )
+        )
