@@ -41,6 +41,7 @@ HEADLINE = [
     ("q_dedup_incremental", dedup.q_dedup_incremental),
     ("q_dedup_simhash", dedup.q_dedup_simhash),
     ("q_dedup_embedding", dedup.q_dedup_embedding),
+    ("q_dedup_embedding_incremental", dedup.q_dedup_embedding_incremental),
     ("q_dedup_clusters", dedup.q_dedup_clusters),
     ("q_tfidf_top_terms", textops.q_tfidf_top_terms),
     ("q_ann_topk", similarity.q_ann_topk),

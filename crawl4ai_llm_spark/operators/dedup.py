@@ -546,6 +546,14 @@ def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
     recall of the banded plan is provably 1, which is what lets the
     oracle stay the plan-independent all-pairs form. Copy ids carry the
     INFLUX_OFFSET high bit (never collides with a real vec_id)."""
+    emb, perturbed = _embedding_base_and_batch(spark, sf)
+    return emb.unionByName(perturbed)
+
+
+def _embedding_base_and_batch(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(stored corpus, arriving batch): the batch is every stored vector
+    re-embedded under the deterministic positive perturbation, carrying
+    INFLUX_OFFSET ids."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
@@ -555,7 +563,7 @@ def embedding_influx(spark: SparkSession, sf: str) -> DataFrame:
             f"transform(v, (x, j) -> x * ({_PERTURB}))"
         ).alias("v"),
     )
-    return emb.unionByName(perturbed)
+    return emb, perturbed
 
 
 def sign_band_keys(vec_col) -> "F.Column":
@@ -626,6 +634,50 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         .join(vb, "vec_b")
         .where(cos >= COSINE_DUP_TAU)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+    )
+
+
+def q_dedup_embedding_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental embedding near-dup: an arriving batch of vectors
+    answered against the STORED corpus — the vector analog of
+    q_dedup_incremental (and the steady-state ingest shape; the
+    corpus-at-once q_dedup_embedding is the backfill job).
+
+    The stored side's 4×16-bit sign band keys are computed once at ingest
+    and kept as a table; the batch computes only ITS band keys — per-batch
+    cost ∝ batch bytes — and equi-joins them, so candidates ∝ true
+    duplicates and the stored corpus is touched only at matching keys.
+    Verification is the exact fold-deterministic cosine, so the oracle is
+    the plan-independent all-pairs batch×corpus SQL; recall on the planted
+    batch is provably 1 (positive perturbation flips no sign bit).
+
+    Output: (new_id, orig_id, cos_sim) at cos ≥ 0.9."""
+    base, batch = _embedding_base_and_batch(spark, sf)
+    base, batch = base.cache(), batch.cache()
+    stored_bk = base.select(
+        "vec_id", F.explode(sign_band_keys(F.col("v"))).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    batch_bk = batch.select(
+        "vec_id", F.explode(sign_band_keys(F.col("v"))).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        batch_bk.alias("n")
+        .join(
+            stored_bk.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(F.col("n.vec_id").alias("new_id"), F.col("o.vec_id").alias("orig_id"))
+        .distinct()
+    )
+    va = batch.select(F.col("vec_id").alias("new_id"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("orig_id"), F.col("v").alias("vb"))
+    cos = vx.cosine(F.col("va"), F.col("vb"))
+    return (
+        F.broadcast(cand)
+        .join(va, "new_id")
+        .join(vb, "orig_id")
+        .where(cos >= COSINE_DUP_TAU)
+        .select("new_id", "orig_id", F.round(cos, 6).alias("cos_sim"))
     )
 
 
@@ -962,6 +1014,40 @@ ORACLES: dict[str, str] = {
         + bit_count(xor(a.sim_hi, b.sim_hi)) <= {SIMHASH_RADIUS}
     """,
     "q_dedup_embedding": _SQL_COSINE_PAIRS,
+    # incremental embedding tier: plan-independent all-pairs batch×corpus
+    # (batch = the perturbed copies; no ordering constraint — the batch
+    # side crosses the full stored corpus)
+    "q_dedup_embedding_incremental": f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), batch AS (
+            SELECT vec_id + {INFLUX_OFFSET} AS vec_id,
+                   list_transform(generate_series(1, len(v)),
+                       j -> v[j] * (1.0 + 0.04 * CAST((vec_id + (j - 1)) % 5 AS DOUBLE) / 5.0)) AS v
+            FROM base
+        ), nb AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+                        (acc, x) -> acc + x)) AS nrm
+            FROM base
+        ), nn AS (
+            SELECT vec_id, v,
+                   sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+                        (acc, x) -> acc + x)) AS nrm
+            FROM batch
+        )
+        SELECT p.vec_id AS new_id, b.vec_id AS orig_id,
+               ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(generate_series(1, len(p.v)), i -> p.v[i] * b.v[i])),
+                         (acc, x) -> acc + x) / (p.nrm * b.nrm), 6) AS cos_sim
+        FROM nn p JOIN nb b
+          ON list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(generate_series(1, len(p.v)), i -> p.v[i] * b.v[i])),
+                 (acc, x) -> acc + x) / (p.nrm * b.nrm) >= {COSINE_DUP_TAU}
+    """,
     # connected components via recursive transitive closure — tractable in
     # the oracle because dup clusters are tiny; the Spark side is the
     # iterative min-label loop that scales
@@ -992,5 +1078,6 @@ QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_embedding_incremental": q_dedup_embedding_incremental,
     "q_dedup_clusters": q_dedup_clusters,
 }
