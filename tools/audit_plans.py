@@ -88,6 +88,29 @@ CHECKS = {
             (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
         ],
     },
+    "q_dedup_incremental": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
+        ).q_dedup_incremental(spark, SF),
+        "expect": [
+            (r"ArrowEvalPython", "batch signatures in the map-only Arrow pass"),
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "band-key equi-join against the stored table"),
+        ],
+        "forbid": [
+            (r"keys \[\d+\]: \[gram#", "no gram-keyed join — candidates come from band keys"),
+        ],
+    },
+    "q_dedup_embedding_incremental": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.dedup", fromlist=["q"]
+        ).q_dedup_embedding_incremental(spark, SF),
+        "expect": [
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "sign-band equi-join against the stored table"),
+        ],
+        "forbid": [
+            (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
+        ],
+    },
     # the pair generator q_dedup_clusters actually executes (the cluster
     # assignment itself materializes via count/collect, so its own plan is
     # a LocalTableScan — the pair SOURCE is where the scale risk lives)
