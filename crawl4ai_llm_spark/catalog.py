@@ -300,6 +300,19 @@ class Table:
                     pass
         return {"removed_snapshots": len(drop), "removed_files": removed_files}
 
+    def retag(self, counters: dict[str, int]) -> Snapshot | None:
+        """Publish a new snapshot with the SAME file list and new counters —
+        a metadata-only commit (Iceberg snapshot-properties analog). Used to
+        mark state on a table without touching data, e.g. the frontier
+        engine's deferred-rebuild ``stale`` flag on the Bloom filter table.
+        No-op (returns None) on an empty table."""
+        parent = self.current_snapshot()
+        if parent is None:
+            return None
+        snap = Snapshot(self._next_id(parent), parent.files, counters, parent.snapshot_id)
+        self._publish(snap)
+        return snap
+
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Reset HEAD to an earlier snapshot (Iceberg rollback analog).
 

@@ -443,6 +443,16 @@ class FrontierEngine:
         if cfg.seen_filter in ("bloom", "cuckoo") and seen_df is not None:
             if cfg.seen_filter == "bloom" and transport == "partitioned":
                 self._blooms = None  # auto switch mid-run: free the driver copy
+                bsnap = self.blooms_table.current_snapshot()
+                if bsnap is not None and bsnap.counters.get("stale"):
+                    # deferred evict rebuild: any number of evictions since
+                    # the last wave cost one full-corpus rebuild, here
+                    self.blooms_table.overwrite(
+                        bloom_mod.update_filter_rows(
+                            seen_df.select("url_hash"), None, cfg.bloom_buckets
+                        ),
+                        counters={"wave": self.last_committed_wave()},
+                    )
                 filters_df = self.blooms_table.read()
                 if filters_df is None:  # fresh engine / post-resume: full build
                     self.blooms_table.overwrite(
@@ -616,26 +626,18 @@ class FrontierEngine:
         elif self.config.seen_filter == "bloom":
             self._blooms = None  # bloom can't delete — rebuild from seen
             if not self.blooms_table.is_empty():
-                # rebuild the filter TABLE from the remaining seen set in
-                # place (covers "partitioned" and a switched "auto" run
-                # alike). Rebuilding — not dropping — matters for "auto":
-                # a dropped table would make _resolve_transport fall back
-                # to broadcast and collect the entire multi-GB filter set
-                # onto the driver, the exact regime the budget ruled out;
-                # it also keeps the one-way-switch invariant.
-                remaining_seen = self.seen.read()
-                if remaining_seen is None:
-                    self.catalog.drop("seen_blooms")
-                    self.blooms_table = self.catalog.table("seen_blooms")
-                else:
-                    self.blooms_table.overwrite(
-                        bloom_mod.update_filter_rows(
-                            remaining_seen.select("url_hash"),
-                            None,
-                            self.config.bloom_buckets,
-                        ),
-                        counters={"wave": wave},
-                    )
+                # DEFERRED rebuild (ADVICE r03): a pre-evict filter is still
+                # CORRECT — it merely over-includes the evicted URLs (false
+                # positives, which the exact anti-join verifies anyway). So
+                # N evictions pay zero rebuilds here; the table is tagged
+                # ``stale`` and run_wave rebuilds it ONCE from the remaining
+                # seen set at the next probe. Tagging — not dropping —
+                # matters for "auto": the table's non-emptiness IS the
+                # one-way-switch state, and a dropped table would make
+                # _resolve_transport fall back to broadcast and collect the
+                # entire multi-GB filter set onto the driver.
+                snap = self.blooms_table.current_snapshot()
+                self.blooms_table.retag({**snap.counters, "stale": 1})
         rows.unpersist()
         return n
 
@@ -661,11 +663,16 @@ class FrontierEngine:
             )
         elif self.config.seen_filter == "bloom" and self._resolve_transport() == "partitioned":
             if self.blooms_table.read() is not None:
+                # carry a pending ``stale`` tag through (the evicted keys are
+                # still OR-ed into the bitmaps this delta-update carries —
+                # the deferred rebuild at the next probe must still happen)
+                bsnap = self.blooms_table.current_snapshot()
+                stale = {"stale": 1} if bsnap and bsnap.counters.get("stale") else {}
                 self.blooms_table.overwrite(
                     bloom_mod.update_filter_rows(
                         rows.select("url_hash"), self.blooms_table.read(), self.config.bloom_buckets
                     ),
-                    counters={"wave": wave},
+                    counters={"wave": wave, **stale},
                 )
         elif self.config.seen_filter == "bloom" and self._blooms is not None:
             self._bloom_or(bloom_mod.build_blooms(rows, self.config.bloom_buckets))

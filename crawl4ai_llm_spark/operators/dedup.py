@@ -66,6 +66,21 @@ INFLUX_OFFSET = 1 << 40
 SIGN_BANDS = 4
 SIGN_BAND_BITS = 16
 
+# Candidate-pair broadcast budget: candidate lists are ∝ true duplicates —
+# usually tiny, so broadcasting them keeps the gram/vector tables
+# shuffle-free. But "usually tiny" is not a plan guarantee: at 10⁹ docs a
+# one-dup-per-doc corpus yields 10⁹ pairs, which must never transit the
+# driver. The hint is therefore GATED on a measured count (the candidates
+# are cached, so the count is reused by the verify join); above the budget
+# the verify falls back to a shuffled equi-join.
+BROADCAST_PAIR_BUDGET = 2_000_000
+
+
+def _broadcast_if_small(cand: DataFrame) -> DataFrame:
+    cand = cand.cache()
+    return F.broadcast(cand) if cand.count() <= BROADCAST_PAIR_BUDGET else cand
+
+
 # MinHash config: 128 permutations = 32 bands × 4 rows. For a true pair at
 # J ≥ 0.9 the miss probability is (1 - 0.9^4)^32 ≈ 1.5e-15 — and every
 # surviving candidate is verified exactly, so precision is exact.
@@ -174,10 +189,10 @@ def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None
     spec tier). With candidates (the LSH path): the list is tiny
     (∝ true duplicates) — broadcast it so the gram table never shuffles.
     """
-    broadcast_candidates = candidates is not None
+    lsh_path = candidates is not None
     if candidates is None:
         candidates = _candidate_pairs_inverted(shingles)
-    cand = F.broadcast(candidates) if broadcast_candidates else candidates
+    cand = _broadcast_if_small(candidates) if lsh_path else candidates
     ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
@@ -394,7 +409,7 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     gb = shingles.select(F.col("doc_id").alias("orig_id"), F.col("grams").alias("grams_b"))
     j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
     scored = (
-        F.broadcast(cand)
+        _broadcast_if_small(cand)
         .join(ga, "new_id")
         .join(gb, "orig_id")
         .select(
@@ -629,7 +644,7 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     vb = influx.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = vx.cosine(F.col("va"), F.col("vb"))
     return (
-        F.broadcast(cand)
+        _broadcast_if_small(cand)
         .join(va, "vec_a")
         .join(vb, "vec_b")
         .where(cos >= COSINE_DUP_TAU)
@@ -673,7 +688,7 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf: str) -> DataFrame:
     vb = base.select(F.col("vec_id").alias("orig_id"), F.col("v").alias("vb"))
     cos = vx.cosine(F.col("va"), F.col("vb"))
     return (
-        F.broadcast(cand)
+        _broadcast_if_small(cand)
         .join(va, "new_id")
         .join(vb, "orig_id")
         .where(cos >= COSINE_DUP_TAU)

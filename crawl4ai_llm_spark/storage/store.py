@@ -428,8 +428,11 @@ class ProductStore:
             tbl = ds.dataset(files, format="parquet", schema=schema).to_table(
                 filter=ds.field("id").isin(ids)
             )
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            return False, None  # un-unifiable schemas etc.: Spark's mergeSchema decides
+        except (OSError, pa.ArrowInvalid, pa.ArrowTypeError):
+            # un-unifiable schemas, a warehouse URI pyarrow can't open though
+            # Spark can, or a file vacuumed between current_snapshot() and
+            # the footer read — all degrade to the Spark path, never crash
+            return False, None
         cols = [
             (n, c)
             for n, c in zip(tbl.schema.names, tbl.columns)

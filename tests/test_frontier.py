@@ -237,11 +237,14 @@ def test_auto_transport_switches_mid_run_with_parity(spark, tmp_path, oracle):
 
 
 def test_evict_keeps_partitioned_filter_state(spark, tmp_path):
-    """evict_from_seen on a partitioned/switched-auto run must REBUILD the
-    filter table from the remaining seen set, not drop it: a dropped table
-    would make auto's next wave fall back to a driver-side broadcast
-    rebuild of the entire filter set (the regime the budget ruled out) and
-    break the one-way-switch invariant (code-review r03 finding)."""
+    """evict_from_seen on a partitioned/switched-auto run must keep the
+    filter table alive, not drop it: a dropped table would make auto's next
+    wave fall back to a driver-side broadcast rebuild of the entire filter
+    set (the regime the budget ruled out) and break the one-way-switch
+    invariant (code-review r03 finding). The rebuild itself is DEFERRED
+    (ADVICE r03): N evictions tag the table ``stale`` at zero rebuild cost
+    — a stale filter only over-includes the evicted keys, which the exact
+    anti-join verifies anyway — and the next wave's probe rebuilds once."""
     wh = str(tmp_path / "evict_part_wh")
     cfg = CrawlConfig(
         delay=CFG["delay"],
@@ -256,18 +259,34 @@ def test_evict_keeps_partitioned_filter_state(spark, tmp_path):
     eng = FrontierEngine(spark, wh, cfg)
     eng.run(seeds=SEEDS)
     assert eng.transport_log[-1] == "partitioned"
+    pre_evict_snap = eng.blooms_table.current_snapshot().snapshot_id
     victims = [r["url"] for r in eng.seen.read().limit(3).collect()]
-    assert eng.evict_from_seen(victims) == len(victims)
-    # filter table survives (rebuilt, not dropped) → auto stays partitioned
+    # three separate evictions: each must cost a metadata-only commit (same
+    # file list), never a filter rebuild
+    for v in victims:
+        assert eng.evict_from_seen([v]) == 1
+    # filter table survives (tagged stale, not dropped) → auto stays partitioned
     assert not eng.blooms_table.is_empty()
     assert eng._resolve_transport() == "partitioned"
-    # and the rebuilt filter has no false negatives on the remaining seen set
+    snap = eng.blooms_table.current_snapshot()
+    assert snap.counters.get("stale") == 1
+    assert snap.files == eng.blooms_table.snapshot(pre_evict_snap).files
+    # the stale filter still has no false negatives on the remaining seen set
     from crawl4ai_llm_spark.frontier import bloom as bm
 
     probed = bm.probe_cogrouped(
         eng.seen.read().select("url_hash"), eng.blooms_table.read(), cfg.bloom_buckets
     )
     assert probed.where(~F.col("maybe_seen")).count() == 0
+    # the next wave's probe performs the ONE deferred rebuild and clears the tag
+    eng.run_wave(eng.last_committed_wave() + 1)
+    snap2 = eng.blooms_table.current_snapshot()
+    assert not snap2.counters.get("stale")
+    assert snap2.files != snap.files  # actually rebuilt
+    probed2 = bm.probe_cogrouped(
+        eng.seen.read().select("url_hash"), eng.blooms_table.read(), cfg.bloom_buckets
+    )
+    assert probed2.where(~F.col("maybe_seen")).count() == 0
 
 
 def test_resume_survives_torn_manifest_tmp(spark, tmp_path, oracle):
