@@ -9,10 +9,12 @@ where Pydantic raises ``ValidationError``) and a ``to_record()`` that feeds
 ``ProductStore.save_products`` directly. No Pydantic dependency: the
 sandbox doesn't ship it, and the checks are a dozen lines.
 
-``extracted_at``/``source_html`` are accepted and passed through;
-``metadata`` is NOT accepted as caller data — the engine owns the metadata
-struct (created_at/updated_at stamping; engine-owned-metadata ruling,
-documented at storage/store.py update_products).
+``extracted_at``/``source_html`` are accepted and passed through.
+``metadata`` follows the reference's merge semantics (json_storage.py:
+189-192): caller-supplied keys are PRESERVED and the engine stamps
+``created_at``/``updated_at`` into the same struct on save — so a record
+fetched with ``get_product`` round-trips through ``save_products``
+unchanged (ADVICE r03 closure).
 """
 
 from __future__ import annotations
@@ -113,15 +115,11 @@ class ProductData:
         for required in ("title", "url"):
             if required not in d:
                 raise ValueError(f"ProductData: {required} is required")
-        if "metadata" in d:
-            # engine-owned-metadata ruling (see update_products): the save
-            # path would silently overwrite a caller 'metadata' with the
-            # engine-stamped struct — reject loudly instead of dropping
-            raise ValueError(
-                "ProductData: 'metadata' is engine-owned (created_at/"
-                "updated_at stamping) and cannot be supplied as record data; "
-                "store caller data in top-level fields"
-            )
+        if "metadata" in d and not isinstance(d["metadata"], dict):
+            # caller metadata is preserved and merged with the engine's
+            # created_at/updated_at stamps on save (reference semantics,
+            # json_storage.py:189-192) — but it must be a mapping
+            raise ValueError("ProductData: metadata must be a dict")
         known = {f for f in cls.__dataclass_fields__}
         model = cls(**{k: v for k, v in d.items() if k in known})
         model._extra = {k: v for k, v in d.items() if k not in known}  # type: ignore[attr-defined]

@@ -197,17 +197,42 @@ class ProductStore:
     # ------------------------------------------------------------------ writes
 
     @staticmethod
-    def _reject_caller_metadata(positions: list[int]) -> None:
-        # engine-owned-metadata ruling (SURVEY §2.2 D3): the save path
-        # stamps the metadata struct unconditionally, so a caller-supplied
-        # 'metadata' would be silently destroyed — reject loudly instead,
-        # the same policy update_products and ProductData.from_dict apply
-        if positions:
-            raise ValueError(
-                f"records at positions {positions[:20]} supply 'metadata', which is "
-                "engine-owned (created_at/updated_at stamping); store caller data "
-                "in top-level fields"
-            )
+    def _normalize_caller_metadata(products: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Reference metadata-merge semantics (json_storage.py:189-192,
+        260-263): caller-supplied metadata KEYS are preserved; the engine
+        overwrites ``created_at``/``updated_at`` with fresh stamps on every
+        save. Realized by normalizing each record's metadata dict to a
+        ``Row`` over the batch-union of caller keys (so createDataFrame
+        infers ONE struct) minus the engine stamps — the stamps are added
+        in-plan by _ensure_id_and_stamps. A record fetched via get_product
+        therefore round-trips through save_products: its engine-shaped
+        metadata reduces to zero caller keys and is simply re-stamped
+        (ADVICE r03 closure)."""
+        from pyspark.sql import Row
+
+        for i, p in enumerate(products):
+            m = p.get("metadata")
+            if m is not None and not isinstance(m, dict):
+                raise ValueError(f"record at position {i}: metadata must be a dict")
+        caller_keys = sorted(
+            {
+                k
+                for p in products
+                for k in (p.get("metadata") or {})
+                if k not in ("created_at", "updated_at")
+            }
+        )
+        if not caller_keys:
+            return [{k: v for k, v in p.items() if k != "metadata"} for p in products]
+        return [
+            {
+                **p,
+                "metadata": Row(
+                    **{k: (p.get("metadata") or {}).get(k) for k in caller_keys}
+                ),
+            }
+            for p in products
+        ]
 
     def _rows_df(self, rows: list[dict[str, Any]]) -> DataFrame:
         """Dicts → DataFrame with the union of all keys (missing ⇒ null),
@@ -248,9 +273,24 @@ class ProductStore:
         )
         now = F.current_timestamp()
         out = df.withColumn("id", generated)
+        # metadata merge (reference json_storage.py:189-192): caller struct
+        # fields carry through, engine overwrites the two stamps
+        meta_fields: list[Column] = []
+        if "metadata" in cols:
+            dtype = df.schema["metadata"].dataType
+            if not isinstance(dtype, T.StructType):
+                raise ValueError(
+                    "metadata column must be a struct (caller keys are "
+                    "preserved; created_at/updated_at are engine-stamped)"
+                )
+            meta_fields = [
+                F.col("metadata").getField(f.name).alias(f.name)
+                for f in dtype.fields
+                if f.name not in ("created_at", "updated_at")
+            ]
         out = out.withColumn(
             "metadata",
-            F.struct(now.alias("created_at"), now.alias("updated_at")),
+            F.struct(*meta_fields, now.alias("created_at"), now.alias("updated_at")),
         )
         if bulk:
             # bulk tier: no meaningful insertion order — a partition-embedded
@@ -294,12 +334,8 @@ class ProductStore:
         run as distributed counts and the ids never leave the executors —
         this is the path that ingests millions of records per commit.
         Returns the number of rows written."""
-        if "metadata" in batch.columns:
-            raise ValueError(
-                "batch supplies a 'metadata' column, which is engine-owned "
-                "(created_at/updated_at stamping); store caller data in "
-                "top-level columns"
-            )
+        # a struct-typed metadata column merges per the reference semantics
+        # (_ensure_id_and_stamps); any other type is rejected there loudly
         batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
         try:
             # samples are sorted BEFORE the limit so the error payload is
@@ -338,7 +374,7 @@ class ProductStore:
         """
         if not products:
             return []
-        self._reject_caller_metadata([i for i, p in enumerate(products) if "metadata" in p])
+        products = self._normalize_caller_metadata(products)
         batch = self._rows_df(products)  # schema-on-read inference
         batch = self._ensure_id_and_stamps(batch, self._next_seq())
         batch = batch.cache()
@@ -515,23 +551,21 @@ class ProductStore:
         # then-stamp semantics (json_storage.py:410-413): the struct is
         # rebuilt from the payload (created_at kept only if the caller
         # supplied it — exactly what {**existing, **update} does) and
-        # updated_at is stamped. The engine's metadata is a TYPED struct, so
-        # keys it cannot represent are rejected loudly instead of silently
-        # dropped (engine-owned-metadata ruling, SURVEY §2.2 D3).
+        # updated_at is stamped. Caller keys already present in the stored
+        # struct schema (save-path metadata merge) are representable and
+        # accepted; BRAND-NEW keys are rejected loudly — the one documented
+        # divergence from the reference's schemaless JSON (a typed struct
+        # cannot grow inside an O(touched-buckets) update; introduce new
+        # metadata keys via a save).
         updates = [dict(u) for u in updates]
+        metas: dict[int, dict[str, Any]] = {}
         for i, u in enumerate(updates):
             if "metadata" not in u:
                 continue
             meta = u.pop("metadata")
             if not isinstance(meta, dict):
                 raise ValueError(f"update at position {i}: metadata must be a dict")
-            extra = set(meta) - {"created_at", "updated_at"}
-            if extra:
-                raise ValueError(
-                    f"update at position {i}: metadata keys {sorted(extra)} are not "
-                    "representable in the engine's typed metadata struct "
-                    "(created_at, updated_at); store caller data in top-level fields"
-                )
+            metas[i] = meta
             u["_meta_created_at"] = meta.get("created_at")
             u["_meta_provided"] = True
         upd_ids = [u["id"] for u in updates]
@@ -547,6 +581,41 @@ class ProductStore:
         missing = sorted(set(upd_ids) - existing_ids)
         if missing:
             raise ProductNotFoundError(missing)
+
+        # caller metadata keys must be representable in the STORED struct
+        # schema (stamps + whatever keys past saves merged in)
+        meta_dtype = (
+            df.schema["metadata"].dataType if "metadata" in df.columns else None
+        )
+        meta_extra_fields = (
+            [
+                f
+                for f in meta_dtype.fields
+                if f.name not in ("created_at", "updated_at")
+            ]
+            if isinstance(meta_dtype, T.StructType)
+            else []
+        )
+        representable = {"created_at", "updated_at"} | {f.name for f in meta_extra_fields}
+        for i, meta in metas.items():
+            bad = sorted(set(meta) - representable)
+            if bad:
+                raise ValueError(
+                    f"update at position {i}: metadata keys {bad} are not "
+                    f"representable in this store's typed metadata struct "
+                    f"({sorted(representable)}); introduce new metadata keys "
+                    "via a save"
+                )
+        # annotate per-extra-field payload columns (wholesale replace: a key
+        # absent from a provided metadata dict becomes null). Columns that
+        # would be all-None are skipped — createDataFrame cannot infer them,
+        # and the in-plan fallback literal is null anyway.
+        for fld in meta_extra_fields:
+            vals = {i: metas[i].get(fld.name) for i in metas}
+            if any(v is not None for v in vals.values()):
+                for i, u in enumerate(updates):
+                    if i in metas:
+                        u[f"_meta_x_{fld.name}"] = vals[i]
 
         # normalize the payload created_at to an ISO string so the batch
         # column infers cleanly (cast back to timestamp in the plan)
@@ -603,6 +672,20 @@ class ProductStore:
             if "_u__meta_created_at" in upd.columns
             else F.lit(None).cast("timestamp")
         )
+        # every branch rebuilds the struct with ONE field order (extra
+        # fields in schema order, then the stamps) — when/otherwise branches
+        # must type-match exactly, and merged-on-read schemas don't
+        # guarantee a stable field order across files
+        def _meta_payload_field(fld) -> Column:
+            cname = f"_u__meta_x_{fld.name}"
+            if cname in upd.columns:
+                return F.col(cname).cast(fld.dataType).alias(fld.name)
+            return F.lit(None).cast(fld.dataType).alias(fld.name)
+
+        meta_x_payload = [_meta_payload_field(f) for f in meta_extra_fields]
+        meta_x_existing = [
+            F.col("metadata").getField(f.name).alias(f.name) for f in meta_extra_fields
+        ]
         for c in base_cols:
             if c == "metadata":
                 # caller-provided metadata: wholesale replace + stamp
@@ -611,6 +694,7 @@ class ProductStore:
                     F.when(
                         matched & meta_provided,
                         F.struct(
+                            *meta_x_payload,
                             meta_created_payload.alias("created_at"),
                             F.current_timestamp().alias("updated_at"),
                         ),
@@ -618,11 +702,18 @@ class ProductStore:
                     .when(
                         matched,
                         F.struct(
+                            *meta_x_existing,
                             F.col("metadata.created_at").alias("created_at"),
                             F.current_timestamp().alias("updated_at"),
                         ),
                     )
-                    .otherwise(F.col("metadata"))
+                    .otherwise(
+                        F.struct(
+                            *meta_x_existing,
+                            F.col("metadata.created_at").alias("created_at"),
+                            F.col("metadata.updated_at").alias("updated_at"),
+                        )
+                    )
                     .alias("metadata")
                 )
             elif f"_u_{c}" in upd.columns:

@@ -155,13 +155,45 @@ def test_update_metadata_wholesale_replace(store):
 
 
 def test_update_metadata_unrepresentable_keys_rejected(store):
-    """Engine-owned-metadata ruling: keys the typed struct cannot hold are
-    rejected loudly, never silently dropped."""
+    """Keys the stored struct schema cannot hold are rejected loudly, never
+    silently dropped (documented divergence from the reference's schemaless
+    JSON: a typed struct cannot grow inside an O(touched-buckets) update —
+    new metadata keys arrive via a save)."""
     pid = store.save_product(sample_product(1))
     with pytest.raises(ValueError, match="not\\s+representable"):
         store.update_product(pid, {"metadata": {"source": "import"}})
     # nothing was written
     assert store.get_product(pid)["title"] == "Test Product 1"
+
+
+def test_update_metadata_caller_keys_roundtrip(store):
+    """Caller metadata keys merged at save time ARE representable in
+    updates: wholesale replace keeps provided keys, nulls missing ones,
+    stamps updated_at (ref {**existing, **update} + :412)."""
+    pid = store.save_product(
+        {**sample_product(5), "metadata": {"source": "import", "rank": 7}}
+    )
+    before = store.get_product(pid)
+    # get→modify→update cycle passes the whole metadata back
+    meta = dict(before["metadata"])
+    meta["source"] = "curated"
+    store.update_product(pid, {"metadata": meta})
+    got = store.get_product(pid)
+    assert got["metadata"]["source"] == "curated"
+    assert got["metadata"]["rank"] == 7
+    assert got["metadata"]["created_at"] == before["metadata"]["created_at"]
+    assert got["metadata"]["updated_at"] >= before["metadata"]["updated_at"]
+    # wholesale: a provided metadata WITHOUT a key nulls it
+    store.update_product(pid, {"metadata": {"source": "only"}})
+    got2 = store.get_product(pid)
+    assert got2["metadata"]["source"] == "only"
+    assert got2["metadata"]["rank"] is None
+    assert got2["metadata"]["created_at"] is None  # {**e,**u} lost it (ref)
+    # an update WITHOUT metadata leaves caller keys untouched, bumps updated_at
+    store.update_product(pid, {"title": "bump"})
+    got3 = store.get_product(pid)
+    assert got3["metadata"]["source"] == "only"
+    assert got3["metadata"]["updated_at"] >= got2["metadata"]["updated_at"]
 
 
 def test_update_products_new_field(store):
@@ -538,36 +570,85 @@ def test_bulk_duplicate_sample_deterministic_and_truncated(spark, tmp_path):
     assert "more conflicts exist" in str(ei.value)
 
 
-def test_model_rejects_caller_metadata():
-    """from_dict must reject an engine-owned 'metadata' key loudly — the
-    save path would otherwise silently overwrite it with the stamped struct
-    (ADVICE r02; engine-owned-metadata ruling, update_products parity)."""
+def test_save_merges_caller_metadata(store):
+    """Reference semantics (json_storage.py:189-192): caller metadata KEYS
+    are preserved and the engine overwrites created_at/updated_at with
+    fresh stamps — never silently destroying caller data and never letting
+    a caller forge the stamps (ADVICE r03 closure)."""
+    import datetime as dt
+
+    ids = store.save_products(
+        [
+            {**sample_product(90), "metadata": {"source": "import", "rank": 3}},
+            sample_product(91),  # no metadata: engine-shaped struct only
+            # caller-supplied stamps are overwritten by the engine
+            {**sample_product(92), "metadata": {"created_at": dt.datetime(1999, 1, 1)}},
+        ]
+    )
+    got = store.get_product(ids[0])
+    assert got["metadata"]["source"] == "import"
+    assert got["metadata"]["rank"] == 3
+    assert got["metadata"]["created_at"].year >= 2020
+    assert got["metadata"]["updated_at"] is not None
+    got1 = store.get_product(ids[1])
+    assert got1["metadata"]["source"] is None  # batch-union schema, no value
+    assert got1["metadata"]["created_at"] is not None
+    assert store.get_product(ids[2])["metadata"]["created_at"].year >= 2020
+    # non-dict metadata is rejected loudly
+    with pytest.raises(ValueError, match="metadata must be a dict"):
+        store.save_products([{**sample_product(93), "metadata": "nope"}])
+
+
+def test_save_metadata_roundtrip(store, spark, tmp_path):
+    """get_product → save_products must round-trip: the fetched record
+    carries the engine-stamped metadata struct, and re-saving it (new id)
+    simply re-stamps (the r03 ADVICE regression)."""
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    pid = store.save_product(
+        {**sample_product(94), "metadata": {"source": "roundtrip"}}
+    )
+    rec = store.get_product(pid)
+    st2 = ProductStore(spark, str(tmp_path / "meta_rt"))
+    new_id = st2.save_products([rec])[0]
+    got = st2.get_product(new_id)
+    assert got["metadata"]["source"] == "roundtrip"
+    assert got["metadata"]["created_at"] >= rec["metadata"]["created_at"]
+    # the model tier also passes caller metadata through
     from crawl4ai_llm_spark.models import ProductData
 
-    with pytest.raises(ValueError, match="metadata"):
-        ProductData.from_dict(
-            {"title": "t", "url": "https://x.y/p", "metadata": {"source": "import"}}
-        )
+    m = ProductData.from_dict(
+        {"title": "t", "url": "https://x.y/p", "metadata": {"source": "import"}}
+    )
+    assert m.to_record()["metadata"] == {"source": "import"}
 
 
-def test_save_rejects_caller_metadata(store, spark, tmp_path):
-    """The save paths must reject an engine-owned 'metadata' loudly — the
-    stamp would otherwise silently destroy it (code-review r03: the ruling
-    applies at the save boundary, not only in the opt-in model tier)."""
+def test_save_products_df_metadata(spark, tmp_path):
+    """Bulk tier: a struct-typed metadata column merges (caller fields kept,
+    stamps overwritten); a non-struct metadata column is rejected loudly."""
     from pyspark.sql import functions as F
 
     from crawl4ai_llm_spark.storage import ProductStore
 
-    with pytest.raises(ValueError, match="engine-owned"):
-        store.save_products(
-            [sample_product(90), {**sample_product(91), "metadata": {"source": "x"}}]
-        )
     st = ProductStore(spark, str(tmp_path / "meta_bulk"))
-    with pytest.raises(ValueError, match="engine-owned"):
+    st.save_products_df(
+        spark.range(3).select(
+            F.concat(F.lit("m"), F.col("id").cast("string")).alias("id"),
+            F.lit("t").alias("title"),
+            F.struct(
+                F.lit("x").alias("source"),
+                F.lit(None).cast("timestamp").alias("created_at"),
+            ).alias("metadata"),
+        )
+    )
+    got = st.get_product("m1")
+    assert got["metadata"]["source"] == "x"
+    assert got["metadata"]["created_at"] is not None  # engine stamp, not the null
+    with pytest.raises(ValueError, match="must be a struct"):
         st.save_products_df(
-            spark.range(3).select(
-                F.concat(F.lit("m"), F.col("id").cast("string")).alias("id"),
+            spark.range(1).select(
+                F.lit("q0").alias("id"),
                 F.lit("t").alias("title"),
-                F.struct(F.lit("x").alias("source")).alias("metadata"),
+                F.lit("not-a-struct").alias("metadata"),
             )
         )
