@@ -129,6 +129,35 @@ def test_embedding_bucketed_equals_allpairs(spark, sf_dir):
     assert len(bucketed) > 0
 
 
+def test_sign_band_fast_matches_spec(spark):
+    """The Arrow-vectorized sign_band_keys_fast must equal the expression
+    spec (the oracle form) bit-for-bit — including short vectors (missing
+    dims read as sign 0), empty vectors, zeros and negatives."""
+    rows = [
+        (0, [1.0] * 64),
+        (1, [-1.0] * 64),
+        (2, [0.0] * 64),
+        (3, [((-1.0) ** j) * (j + 1) for j in range(64)]),
+        (4, [1.0, -2.0, 3.0]),  # shorter than one band
+        (5, []),
+        (6, [0.5] * 70),  # longer than 4 bands
+        (7, [1e-3, -1e-3] * 32),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    spec = {
+        (r["vec_id"], r["bk"]["band"]): r["bk"]["key"]
+        for r in df.select(
+            "vec_id", F.explode(dedup.sign_band_keys(F.col("v"))).alias("bk")
+        ).collect()
+    }
+    fast = {
+        (r["vec_id"], r["band"]): r["key"]
+        for r in dedup.sign_band_rows(df, "vec_id").collect()
+    }
+    assert fast == spec
+    assert len(fast) == len(rows) * dedup.SIGN_BANDS
+
+
 def test_embedding_dedup_plan_has_no_cartesian(spark, sf_dir):
     plan = dedup.q_dedup_embedding(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
