@@ -47,3 +47,27 @@ class DuplicateProductError(StorageError):
         self.truncated = truncated
         suffix = " (sample: first by id; more conflicts exist)" if truncated else ""
         super().__init__(f"Duplicate product id(s): {', '.join(dup_ids)}{suffix}")
+
+
+class NearDuplicateContentError(DuplicateProductError):
+    """Insert would near-duplicate already-stored CONTENT — the reference's
+    D1 duplicate semantics (id collision ⇒ DuplicateProductError,
+    json_storage.py:195-197) generalized to content similarity via the
+    persisted MinHash band-key index (operators/dedup_store.DedupIndex;
+    ``ProductStore.save_products_df(reject_near_dups=...)``).
+
+    ``pairs``: sample of (new_id, stored_id, jaccard), sorted by new_id.
+    Subclasses DuplicateProductError so existing handlers keep working;
+    ``dup_ids`` holds the offending NEW ids.
+    """
+
+    def __init__(self, pairs: list[tuple[str, str, float]], truncated: bool = False):
+        self.pairs = pairs
+        dup_ids = sorted({p[0] for p in pairs})
+        detail = "; ".join(f"{n}~{o} (J={j:.3f})" for n, o, j in pairs[:5])
+        suffix = " (sample; more conflicts exist)" if truncated else ""
+        StorageError.__init__(
+            self, f"Near-duplicate content: {detail}{suffix}"
+        )
+        self.dup_ids = dup_ids
+        self.truncated = truncated

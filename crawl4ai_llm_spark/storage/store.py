@@ -327,16 +327,53 @@ class ProductStore:
                        **({"id": product["id"]} if "id" in product else {})}
         return self.save_products([product])[0]
 
-    def save_products_df(self, batch: DataFrame) -> int:
+    def _content_index(self):
+        """The store's persisted content-dedup index (MinHash band keys of
+        every saved row's checked text column) — lives beside the product
+        table under the same warehouse."""
+        import os
+
+        from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
+
+        return DedupIndex(self.spark, os.path.join(self.catalog.warehouse, "content_index"))
+
+    def save_products_df(
+        self,
+        batch: DataFrame,
+        reject_near_dups: str | None = None,
+        near_dup_tau: float = 0.5,
+        on_near_dup: str = "reject",
+    ) -> int:
         """D2, bulk tier — ingest a DataFrame without any driver-side row
         materialization. Same duplicate semantics as save_products (both
         intra-batch and vs-existing rejected with sample ids), but checks
         run as distributed counts and the ids never leave the executors —
         this is the path that ingests millions of records per commit.
-        Returns the number of rows written."""
+        Returns the number of rows written.
+
+        ``reject_near_dups=<text column>`` adds a CONTENT tier to the D1
+        duplicate check: arriving rows whose text near-duplicates an
+        already-saved row at exact n-gram Jaccard ≥ ``near_dup_tau`` raise
+        ``NearDuplicateContentError`` (``on_near_dup="reject"``, listing
+        sample pairs) or are silently dropped (``on_near_dup="skip"`` —
+        the crawl-pipeline mode; the non-duplicate remainder commits).
+        Cost shape: the stored corpus is NEVER rescanned — the batch's
+        MinHash band keys equi-join the store's persisted band-key index
+        (dedup_store.DedupIndex, maintained here on every save), and
+        verification reads only the matched stored rows. Intra-batch
+        content dups are NOT checked (the id tier handles identity;
+        dedup the batch itself with operators/dedup first if needed).
+        The index is derived data: if it diverges from the store (a crash
+        between the two commits), it is rebuilt from the live table —
+        at Iceberg scale this becomes an incremental MERGE repair."""
+        if reject_near_dups is not None and reject_near_dups not in batch.columns:
+            raise ValueError(f"reject_near_dups column {reject_near_dups!r} not in batch")
+        if on_near_dup not in ("reject", "skip"):
+            raise ValueError("on_near_dup must be 'reject' or 'skip'")
         # a struct-typed metadata column merges per the reference semantics
         # (_ensure_id_and_stamps); any other type is rejected there loudly
         batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
+        cached = batch  # "skip" mode rebinds batch to a filtered view of this cache
         try:
             # samples are sorted BEFORE the limit so the error payload is
             # deterministic run-to-run (an unordered .limit(20) returns
@@ -357,13 +394,84 @@ class ProductStore:
                     raise DuplicateProductError(
                         dup_sample[:20], truncated=len(dup_sample) > 20
                     )
+            if reject_near_dups is not None:
+                batch = self._content_dup_tier(
+                    batch, existing, reject_near_dups, near_dup_tau, on_near_dup
+                )
             n, max_seq = batch.agg(
                 F.count("*").alias("n"), F.max("_seq").alias("m")
             ).collect()[0]
+            if n == 0:
+                return 0  # every row skipped as a near-dup: nothing to commit
             self.table.append(batch, counters={"max_seq": int(max_seq)})
+            if reject_near_dups is not None:
+                # maintain the index: the committed batch's band keys append
+                # (tagged with the data snapshot for divergence detection)
+                self._content_index().ingest_documents(
+                    batch.select(
+                        F.col("id").alias("doc_id"),
+                        F.col(reject_near_dups).cast("string").alias("text"),
+                    ),
+                    counters={
+                        "data_snapshot": self.table.current_snapshot().snapshot_id
+                    },
+                )
             return n
         finally:
-            batch.unpersist()
+            cached.unpersist()
+
+    def _content_dup_tier(
+        self,
+        batch: DataFrame,
+        existing: DataFrame | None,
+        text_col: str,
+        tau: float,
+        on_near_dup: str,
+    ) -> DataFrame:
+        """Batch-vs-stored content check; returns the batch (possibly
+        filtered in "skip" mode). Syncs the index first: a count divergence
+        (crash between data and index commits, or a store written without
+        the content tier) rebuilds it from the live table — idempotent,
+        derived data."""
+        from crawl4ai_llm_spark.errors import NearDuplicateContentError
+
+        if existing is None:
+            return batch
+        idx = self._content_index()
+        existing_docs = existing.select(
+            F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
+        )
+        n_store = existing.count()
+        snap = idx.minhash_bands.current_snapshot()
+        n_idx = int(snap.counters.get("n_docs", 0)) if snap else 0
+        if n_idx != n_store:
+            idx.catalog.drop("minhash_bands")
+            idx.minhash_bands = idx.catalog.table("minhash_bands")
+            if n_store:
+                idx.ingest_documents(
+                    existing_docs,
+                    counters={"data_snapshot": self.table.current_snapshot().snapshot_id},
+                )
+        if n_store == 0:
+            return batch
+        batch_docs = batch.select(
+            F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
+        )
+        matches = idx.match_documents(batch_docs, existing_docs, tau=tau)
+        sample = matches.orderBy("new_id", "orig_id").limit(21).collect()
+        if not sample:
+            return batch
+        if on_near_dup == "reject":
+            raise NearDuplicateContentError(
+                [(r["new_id"], r["orig_id"], r["jaccard"]) for r in sample[:20]],
+                truncated=len(sample) > 20,
+            )
+        # skip mode: drop every near-dup row, keep the remainder (anti-join
+        # reading the already-cached batch — the match list is bounded by
+        # true duplicates)
+        return batch.join(
+            matches.select(F.col("new_id").alias("id")).distinct(), "id", "left_anti"
+        )
 
     def save_products(self, products: list[dict[str, Any]]) -> list[str]:
         """D2 — batch insert, one atomic commit.

@@ -129,6 +129,57 @@ def test_embedding_bucketed_equals_allpairs(spark, sf_dir):
     assert len(bucketed) > 0
 
 
+def test_incremental_reads_persisted_index(spark, tmp_path):
+    """VERDICT r03 #1 'done' criterion: after ingest, a batch match must
+    (a) scan the PERSISTED band table (parquet scan of the index warehouse
+    in the executed plan) and (b) run the signature pass over the BATCH
+    only — proven at runtime by an accumulator in the sig UDF: matching a
+    10-doc batch against a 200-doc indexed corpus signs ≤ 10 docs (not
+    210, the r03 recompute-in-query shape)."""
+    from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    corpus_rows = [
+        (i, " ".join(words[(i + j) % 10] + str(i * 7 + j) for j in range(30)))
+        for i in range(200)
+    ]
+    # batch: 10 docs, each a near-copy of corpus doc i (one token changed)
+    batch_rows = [
+        (1000 + i, corpus_rows[i][1].replace(words[i % 10] + str(i * 7), "CHANGED", 1))
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    wh = str(tmp_path / "dedup_idx")
+    acc = spark.sparkContext.accumulator(0)
+    old_udf, old_counter = dedup._sig_udf, dedup._SIG_ROWS_COUNTER
+    dedup._sig_udf, dedup._SIG_ROWS_COUNTER = None, acc
+    try:
+        idx = DedupIndex(spark, wh)
+        idx.ingest_documents(corpus)
+        assert acc.value == 200  # ingest signs the corpus once
+        out = idx.match_documents(batch, corpus)
+        rows = out.collect()
+        # every planted near-copy matches its original at high J
+        got = {(r["new_id"], r["orig_id"]) for r in rows}
+        assert {(1000 + i, i) for i in range(10)} <= got
+        # (b) the match signed ONLY batch docs (≤2 actions over ≤10 docs;
+        # the stored 200 never re-signed)
+        assert 200 + 10 <= acc.value <= 200 + 2 * 10, acc.value
+        # (a) the executed plan reads the persisted band table (formatted
+        # explain keeps the scan Location; toString elides long paths)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        assert "dedup_idx" in buf.getvalue() and "minhash_bands" in buf.getvalue()
+    finally:
+        dedup._sig_udf, dedup._SIG_ROWS_COUNTER = old_udf, old_counter
+
+
 def test_sign_band_fast_matches_spec(spark):
     """The Arrow-vectorized sign_band_keys_fast must equal the expression
     spec (the oracle form) bit-for-bit — including short vectors (missing

@@ -570,6 +570,86 @@ def test_bulk_duplicate_sample_deterministic_and_truncated(spark, tmp_path):
     assert "more conflicts exist" in str(ei.value)
 
 
+def _nd_batch(spark, ids_texts):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, t) for i, t in ids_texts], "id string, description string"
+    ).withColumn("title", F.concat(F.lit("t-"), F.col("id")))
+
+
+def test_save_content_near_dup_tier(spark, tmp_path):
+    """D1 generalized to content (VERDICT r03 #6): save_products_df with
+    reject_near_dups=<col> checks arriving text against the store's
+    PERSISTED band-key index — reject mode raises with (new, stored, J)
+    pairs; skip mode commits only the non-duplicates; the default path is
+    untouched (no index, no check)."""
+    import pytest as _pytest
+
+    from crawl4ai_llm_spark.errors import NearDuplicateContentError
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    words = "red green blue cyan teal lime rose gold jade onyx".split()
+    texts = {
+        f"c{i}": " ".join(words[(i + j) % 10] + str(i * 13 + j) for j in range(25))
+        for i in range(6)
+    }
+    st = ProductStore(spark, str(tmp_path / "nd_wh"))
+    assert st.save_products_df(
+        _nd_batch(spark, texts.items()), reject_near_dups="description"
+    ) == 6
+    # near-copy of c2 (one token changed) + one genuinely new doc
+    near = texts["c2"].replace(words[2] + "26", "CHANGED", 1)
+    fresh = " ".join(f"zz{j} qq{j * 3}" for j in range(15))
+    with _pytest.raises(NearDuplicateContentError) as ei:
+        st.save_products_df(
+            _nd_batch(spark, [("n0", near), ("n1", fresh)]),
+            reject_near_dups="description",
+        )
+    assert ei.value.dup_ids == ["n0"]
+    assert any(p[0] == "n0" and p[1] == "c2" and p[2] > 0.5 for p in ei.value.pairs)
+    # nothing was written by the rejected batch
+    assert st.list_products(page_size=100).total == 6
+    # skip mode: the near-dup is dropped, the fresh row commits
+    n = st.save_products_df(
+        _nd_batch(spark, [("n0", near), ("n1", fresh)]),
+        reject_near_dups="description",
+        on_near_dup="skip",
+    )
+    assert n == 1
+    assert st.get_product("n1")["description"] == fresh
+    with _pytest.raises(Exception):
+        st.get_product("n0")
+    # the index followed the commits: a re-save of the fresh text now
+    # matches the STORED n1 (no full-store rescan — index equi-join)
+    with _pytest.raises(NearDuplicateContentError) as ei2:
+        st.save_products_df(
+            _nd_batch(spark, [("n2", fresh)]), reject_near_dups="description"
+        )
+    assert any(p[1] == "n1" for p in ei2.value.pairs)
+    # default path unchanged: no content check without the flag
+    assert st.save_products_df(_nd_batch(spark, [("n3", near)])) == 1
+
+
+def test_save_content_dup_index_rebuild_on_divergence(spark, tmp_path):
+    """The content index is derived data: a store written WITHOUT the
+    content tier (count divergence) gets its index rebuilt transparently
+    on the next checked save."""
+    import pytest as _pytest
+
+    from crawl4ai_llm_spark.errors import NearDuplicateContentError
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    st = ProductStore(spark, str(tmp_path / "nd_wh2"))
+    base = " ".join(f"w{j} v{j * 7} u{j + 11}" for j in range(12))
+    st.save_products_df(_nd_batch(spark, [("a0", base)]))  # unindexed save
+    with _pytest.raises(NearDuplicateContentError):
+        st.save_products_df(
+            _nd_batch(spark, [("b0", base.replace("w3", "X", 1))]),
+            reject_near_dups="description",
+        )
+
+
 def test_save_merges_caller_metadata(store):
     """Reference semantics (json_storage.py:189-192): caller metadata KEYS
     are preserved and the engine overwrites created_at/updated_at with
