@@ -641,24 +641,29 @@ def sign_band_keys(vec_col) -> "F.Column":
     )
 
 
-_sign_keys_udf = None
+_sign_keys_udfs: dict = {}
 
 
-def sign_band_keys_fast(vec_col) -> "F.Column":
-    """Arrow-vectorized ``sign_band_keys``: all SIGN_BANDS keys per vector
-    in ONE numpy pass per batch. The expression form above stays the
-    semantic spec (and feeds the DuckDB oracles); this is the executed
-    path — the expression's 64 chained CASEs evaluate interpreted per row
-    and measured ~0.4 s of the sf0.1 embedding-dedup wall (VERDICT r03 #3).
-    Equality with the spec is unit-tested (test_sign_band_fast_matches_spec)
-    including short / empty / negative / zero-coordinate vectors."""
-    global _sign_keys_udf
-    if _sign_keys_udf is None:
+def sign_band_keys_fast(
+    vec_col, n_bands: int = SIGN_BANDS, band_bits: int = SIGN_BAND_BITS
+) -> "F.Column":
+    """Arrow-vectorized ``sign_band_keys``: all band keys per vector in ONE
+    numpy pass per batch. The expression form above stays the semantic spec
+    (and feeds the DuckDB oracles); this is the executed path — the
+    expression's 64 chained CASEs evaluate interpreted per row and measured
+    ~0.4 s of the sf0.1 embedding-dedup wall (VERDICT r03 #3). Equality
+    with the spec is unit-tested (test_sign_band_fast_matches_spec)
+    including short / empty / negative / zero-coordinate vectors.
+    Parameterized so ANN can use its own banding constant (similarity
+    q_ann_multiband: 8×8 — wider-net, looser bands) while dedup keeps
+    4×16; UDFs are cached per config."""
+    key = (n_bands, band_bits)
+    if key not in _sign_keys_udfs:
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        NB, BB = SIGN_BANDS, SIGN_BAND_BITS
+        NB, BB = n_bands, band_bits
         # uint64 weights: signed-64 numpy multiply is pathologically slow on
         # this platform (see minhash_signatures note)
         W = (np.uint64(1) << np.arange(BB, dtype=np.uint64))[None, None, :]
@@ -679,16 +684,25 @@ def sign_band_keys_fast(vec_col) -> "F.Column":
             out = (bits * W).sum(axis=2).astype(np.int64)
             return pd.Series(list(out))
 
-        _sign_keys_udf = pandas_udf(keys, "array<long>")
-    return _sign_keys_udf(vec_col)
+        _sign_keys_udfs[key] = pandas_udf(keys, "array<long>")
+    return _sign_keys_udfs[key](vec_col)
 
 
-def sign_band_rows(df: DataFrame, id_col: str, vec_col: str = "v") -> DataFrame:
+def sign_band_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "v",
+    n_bands: int = SIGN_BANDS,
+    band_bits: int = SIGN_BAND_BITS,
+) -> DataFrame:
     """(id, band, key) rows — one per sign band; the layout the stored side
     of incremental embedding dedup keeps on disk (band analog of
     band_rows)."""
     return df.select(
-        id_col, F.posexplode(sign_band_keys_fast(F.col(vec_col))).alias("band", "key")
+        id_col,
+        F.posexplode(sign_band_keys_fast(F.col(vec_col), n_bands, band_bits)).alias(
+            "band", "key"
+        ),
     )
 
 
