@@ -437,6 +437,8 @@ class FrontierEngine:
         seen_df = self.seen.read()
         bloom_bc = None
         probed = None
+        probe_cache = None  # the cached df to unpersist after commit
+        new_filters = None  # partitioned transport: next filter table rows
         transport = self._resolve_transport() if cfg.seen_filter == "bloom" else None
         if transport is not None:
             self.transport_log.append(transport)
@@ -462,29 +464,41 @@ class FrontierEngine:
                         counters={"wave": self.last_committed_wave()},
                     )
                     filters_df = self.blooms_table.read()
-                probed = bloom_mod.probe_cogrouped(
+                # ONE cogrouped job probes AND produces the next filter
+                # table — the r03 shape re-read the filter table in a
+                # second cogroup at commit time, a full extra job per wave
+                combined = bloom_mod.probe_update_cogrouped(
                     discovered, filters_df, cfg.bloom_buckets
-                )
-            elif cfg.seen_filter == "bloom":
-                if self._blooms is None:  # fresh engine / post-resume: full build
-                    self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
-                probed, bloom_bc = bloom_mod.probe_expr(
-                    discovered, self._blooms, cfg.bloom_buckets
+                ).cache()
+                combined.count()
+                mark("probed_count")
+                probe_cache = combined
+                probed = combined.where(F.col("bloom").isNull()).drop("bucket", "bloom")
+                new_filters = combined.where(F.col("bloom").isNotNull()).select(
+                    "bucket", "bloom"
                 )
             else:
-                if self._cuckoo is None:  # fresh engine / post-resume: full build
-                    self._cuckoo = cuckoo_mod.update_filters(
-                        seen_df.select("url_hash"), None, cfg.bloom_buckets
+                if cfg.seen_filter == "bloom":
+                    if self._blooms is None:  # fresh engine / post-resume: full build
+                        self._blooms = bloom_mod.build_blooms(seen_df, cfg.bloom_buckets)
+                    probed, bloom_bc = bloom_mod.probe_expr(
+                        discovered, self._blooms, cfg.bloom_buckets
                     )
-                probed, bloom_bc = cuckoo_mod.probe_expr(
-                    discovered, self._cuckoo, cfg.bloom_buckets
-                )
-            # cache AND materialize: the two branches below would otherwise
-            # race the unpopulated cache and duplicate the whole
-            # canonicalize→probe chain
-            probed = probed.cache()
-            probed.count()
-            mark("probed_count")
+                else:
+                    if self._cuckoo is None:  # fresh engine / post-resume: full build
+                        self._cuckoo = cuckoo_mod.update_filters(
+                            seen_df.select("url_hash"), None, cfg.bloom_buckets
+                        )
+                    probed, bloom_bc = cuckoo_mod.probe_expr(
+                        discovered, self._cuckoo, cfg.bloom_buckets
+                    )
+                # cache AND materialize: the two branches below would
+                # otherwise race the unpopulated cache and duplicate the
+                # whole canonicalize→probe chain
+                probed = probed.cache()
+                probed.count()
+                mark("probed_count")
+                probe_cache = probed
             definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             candidates = probed.where(F.col("maybe_seen")).drop("maybe_seen")
             # exact verification tier (C4): only Bloom-positive candidates
@@ -544,19 +558,14 @@ class FrontierEngine:
             self.frontier.overwrite(next_frontier.coalesce(k), counters=wave_tag)
 
         def update_seen_filter():
-            # independent of the table writes (reads only the new_links
-            # cache and prior filter state), so it rides the same pool —
-            # wall time is max(commits, filter delta), not the sum
+            # independent of the table writes (reads only cached inputs),
+            # so it rides the same pool — wall time is max(commits, filter
+            # delta), not the sum
             if cfg.seen_filter == "bloom" and transport == "partitioned":
-                # cost ∝ new URLs + touched bitmaps; untouched buckets
-                # carry through inside the same cogrouped job — never via
-                # the driver
-                self.blooms_table.overwrite(
-                    bloom_mod.update_filter_rows(
-                        new_links.select("url_hash"), self.blooms_table.read(), cfg.bloom_buckets
-                    ),
-                    counters=wave_tag,
-                )
+                # the probe cogroup already produced the next filter rows
+                # (probe_update_cogrouped) — this is a write from cache,
+                # no second cogroup, no second filter-table scan
+                self.blooms_table.overwrite(new_filters, counters=wave_tag)
             elif cfg.seen_filter == "bloom" and self._blooms is not None:
                 self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
             elif cfg.seen_filter == "cuckoo" and self._cuckoo is not None:
@@ -591,8 +600,8 @@ class FrontierEngine:
         with_r1.unpersist()
         results.unpersist()
         new_links.unpersist()
-        if probed is not None:
-            probed.unpersist()
+        if probe_cache is not None:
+            probe_cache.unpersist()
         if bloom_bc is not None:
             bloom_bc.destroy()
         return stats

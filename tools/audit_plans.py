@@ -95,6 +95,7 @@ CHECKS = {
         "expect": [
             (r"ArrowEvalPython", "batch signatures in the map-only Arrow pass"),
             (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "band-key equi-join against the stored table"),
+            (r"dedup_index_text[^\n]*minhash_bands", "stored side is a parquet scan of the PERSISTED ingest-time band table (r04)"),
         ],
         "forbid": [
             (r"keys \[\d+\]: \[gram#", "no gram-keyed join — candidates come from band keys"),
@@ -106,6 +107,18 @@ CHECKS = {
         ).q_dedup_embedding_incremental(spark, SF),
         "expect": [
             (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "sign-band equi-join against the stored table"),
+            (r"dedup_index_emb[^\n]*sign_bands", "stored side is a parquet scan of the PERSISTED sign-band table (r04)"),
+        ],
+        "forbid": [
+            (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
+        ],
+    },
+    "q_ann_multiband": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.similarity", fromlist=["q"]
+        ).q_ann_multiband(spark, SF),
+        "expect": [
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "multi-band candidates from a band-key equi-join"),
         ],
         "forbid": [
             (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),

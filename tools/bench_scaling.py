@@ -36,6 +36,7 @@ from crawl4ai_llm_spark.frontier.engine import CrawlConfig, FrontierEngine
 
 cpus = int(sys.argv[1])
 quick = sys.argv[2] == "1"
+transport = sys.argv[3]
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8))
 if quick:
@@ -55,11 +56,11 @@ else:
     n_seeds, max_waves, buckets = 20000, 6, 128
 cfg = CrawlConfig(wave_seconds=36000.0, max_depth=5, max_waves=max_waves,
                   bloom_buckets=buckets, graph=spec,
-                  # pinned: broadcast transport wins at these wave sizes
-                  # (0.84 vs 0.66 efficiency — the partitioned transport's
-                  # extra per-wave shuffle dominates short latency-bound
-                  # waves; it is the 10^10-URL transport, not the sandbox's)
-                  bloom_transport="broadcast",
+                  # default: broadcast transport wins at these wave sizes
+                  # (it is NOT the 10^10-URL transport though — pass
+                  # --transport partitioned to evidence the fused
+                  # probe+update cogroup's scaling, VERDICT r03 #2)
+                  bloom_transport=transport,
                   fetch_latency_ms=0.0 if quick else 80.0,
                   async_concurrency=24)
 with tempfile.TemporaryDirectory() as tmp:
@@ -84,10 +85,10 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, quick: bool) -> dict:
+def run_level(cpus: int, quick: bool, transport: str = "broadcast") -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), "1" if quick else "0"],
+        [sys.executable, "-c", script, str(cpus), "1" if quick else "0", transport],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -107,23 +108,29 @@ def main() -> None:
     full load, so 8→32 cannot evidence ENGINE scaling; 4→16 raw ceiling is
     0.86."""
     quick = "--quick" in sys.argv
-    r8 = run_level(4, quick)
+    transport = "partitioned" if "--transport=partitioned" in sys.argv else "broadcast"
+    r8 = run_level(4, quick, transport)
     print("local[4]: ", r8, flush=True)
     if not quick:
         import time
 
         time.sleep(90)  # let clocks/thermals settle between levels
-    r32 = run_level(16, quick)
+    r32 = run_level(16, quick, transport)
     print("local[16]:", r32)
     eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
     print(f"scaling efficiency N→4N: {eff:.3f}")
 
     waves8 = ", ".join(f"w{w['wave']}:{w['scheduled']}@{w['seconds']}s" for w in r8.get("waves", []))
     waves32 = ", ".join(f"w{w['wave']}:{w['scheduled']}@{w['seconds']}s" for w in r32.get("waves", []))
+    title = (
+        "## Scaling evidence (north rule, measured by tools/bench_scaling.py)"
+        if transport == "broadcast"
+        else "## Scaling evidence — partitioned Bloom transport (fused probe+update cogroup)"
+    )
     section = f"""
-## Scaling evidence (north rule, measured {'' if not quick else '— quick mode '}by tools/bench_scaling.py)
+{title}
 
-Same crawl job (seeded graph `scaling-42`, identical input and seeds) at two
+Transport: `bloom_transport="{transport}"`. Same crawl job (seeded graph `scaling-42`, identical input and seeds) at two
 parallelism levels, fresh JVM per level. N=4 and 4N=16 cores are used (not
 8/32) because this box's 32 cores clock down under full load: the measured
 raw-CPU ceiling for 8→32 hashing processes is 0.69 — no engine could
@@ -155,12 +162,12 @@ per-wave (local[16]): {waves32}
     path = os.path.join(REPO, "BENCH.md")
     with open(path) as f:
         content = f.read()
-    content = re.sub(
-        r"\n## Scaling evidence \(north rule[^\n]*\n(?:(?!\n## ).)*",
-        "\n",
-        content,
-        flags=re.DOTALL,
+    pattern = (
+        r"\n## Scaling evidence \(north rule[^\n]*\n(?:(?!\n## ).)*"
+        if transport == "broadcast"
+        else r"\n## Scaling evidence — partitioned[^\n]*\n(?:(?!\n## ).)*"
     )
+    content = re.sub(pattern, "\n", content, flags=re.DOTALL)
     # keep the section ordered before any later evidence sections by
     # appending at the end (BENCH.md is organized chronologically)
     with open(path, "w") as f:
