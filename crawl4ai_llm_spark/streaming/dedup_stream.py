@@ -1,0 +1,101 @@
+"""Streaming incremental dedup — the DedupIndex ingest loop as a running
+Structured Streaming pipeline.
+
+``q_dedup_incremental`` exercises ONE batch against the persisted band-key
+index; this module runs the same steady-state shape continuously: a file
+source of arriving document batches is drained microbatch-by-microbatch,
+and each batch is (1) matched against everything ingested BEFORE it —
+band-key equi-join + exact-Jaccard verify, never a corpus rescan — then
+(2) appended to the corpus and band index. ``foreachBatch`` is the right
+tool here, not pure streaming operators: the match joins a snapshot table
+and the loop mutates two tables per batch (Spark's own docs prescribe
+foreachBatch for exactly this write-to-multiple-sinks / arbitrary-logic
+case).
+
+Exactly-once: Structured Streaming replays a failed microbatch with the
+SAME batch_id; every table commit here is tagged with that id and skipped
+when already applied (per-table idempotent replay — the same guard shape
+Iceberg's ``spark.sql.streaming`` sink uses). A crash between the three
+commits therefore re-runs the batch and each table catches up exactly
+once. At production scale the three tables are Iceberg and the file
+source is Kafka; both swaps are one-line.
+
+Intra-batch duplicates are NOT matched against each other (consistent
+with ProductStore.save_products_df's documented content-tier semantics):
+a batch is deduped against the PAST, not against itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawl4ai_llm_spark.catalog import Catalog, Table
+from crawl4ai_llm_spark.operators.dedup_store import JACCARD_TAU, DedupIndex
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+class StreamingDedup:
+    """Corpus + band index + match log under one warehouse, advanced one
+    microbatch at a time."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, tau: float = JACCARD_TAU):
+        self.spark = spark
+        self.tau = tau
+        self.catalog = Catalog(spark, warehouse)
+        self.index = DedupIndex(spark, os.path.join(warehouse, "index"))
+        self.corpus: Table = self.catalog.table("corpus")
+        self.matches: Table = self.catalog.table("matches")
+
+    @staticmethod
+    def _applied(table: Table, batch_id: int) -> bool:
+        snap = table.current_snapshot()
+        return snap is not None and int(snap.counters.get("batch_id", -1)) >= batch_id
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One microbatch: match vs the already-ingested corpus, then
+        ingest. Idempotent per table under streaming's batch replay."""
+        batch_id = int(batch_id)
+        batch_df = batch_df.select("doc_id", "text").cache()
+        try:
+            if not self._applied(self.matches, batch_id):
+                stored = self.corpus.read()
+                if stored is not None and not self.index.minhash_bands.is_empty():
+                    found = self.index.match_documents(
+                        batch_df, stored, tau=self.tau
+                    ).withColumn("batch_id", F.lit(batch_id))
+                else:  # first batch: nothing ingested yet
+                    found = self.spark.createDataFrame(
+                        [], "new_id long, orig_id long, jaccard double, batch_id long"
+                    )
+                self.matches.append(found, counters={"batch_id": batch_id})
+            if not self._applied(self.corpus, batch_id):
+                self.corpus.append(batch_df, counters={"batch_id": batch_id})
+            # band-key ingest carries its own n_docs counter — preserve it
+            if not self._applied(self.index.minhash_bands, batch_id):
+                self.index.ingest_documents(batch_df, counters={"batch_id": batch_id})
+        finally:
+            batch_df.unpersist()
+
+    def run_available_now(
+        self, docs_dir: str, checkpoint_dir: str, max_files_per_trigger: int = 1
+    ) -> None:
+        """Drain every available input file (Trigger.AvailableNow),
+        ``max_files_per_trigger`` files per microbatch — the offline
+        harness; a live deployment drops the trigger and the pipeline
+        runs until stopped."""
+        stream = (
+            self.spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(docs_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
