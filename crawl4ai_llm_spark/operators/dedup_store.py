@@ -102,6 +102,28 @@ class DedupIndex:
         self.sign_bands.append(bk, counters={**(counters or {}), "n_vecs": prev + n})
         return n
 
+    # ------------------------------------------------------------------ maintenance
+
+    def compact(
+        self, target_partitions: int | None = None, expire_keep_last: int | None = None
+    ) -> None:
+        """Rewrite each band table's live file set to a bounded count — the
+        maintenance pass a per-batch ingest loop (StreamingDedup, the
+        store's content tier) runs every K batches: append-per-batch
+        otherwise accumulates one commit's files per batch and every
+        matcher pays the footer scans. ``expire_keep_last`` additionally
+        garbage-collects superseded manifests/files (catalog
+        ``expire_snapshots`` — only 1 actually frees space, trading
+        rollback depth; same tradeoff as FrontierEngine.compact_tables)."""
+        k = target_partitions or self.spark.sparkContext.defaultParallelism
+        for tbl in (self.minhash_bands, self.sign_bands):
+            if tbl.is_empty():
+                continue
+            snap = tbl.current_snapshot()
+            tbl.compact(k, counters=snap.counters if snap else None)
+            if expire_keep_last:
+                tbl.expire_snapshots(expire_keep_last)
+
     # ------------------------------------------------------------------ match
 
     def match_documents(

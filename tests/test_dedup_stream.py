@@ -100,3 +100,30 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     sd2.run_available_now(docs_dir, str(tmp_path / "cp"), max_files_per_trigger=1)
     assert sd2.matches.read().count() == n_matches
     assert sd2.corpus.read().count() == n_corpus
+
+
+def test_index_compaction_bounds_files_and_preserves_matches(spark, tmp_path):
+    """Per-batch ingest appends one commit's files per batch; compact()
+    with expire_keep_last=1 bounds both the LIVE file set and disk, and
+    matching behaves identically afterwards."""
+    docs_dir = str(tmp_path / "arrivals")
+    _write_batches(spark, docs_dir)
+    sd = StreamingDedup(spark, str(tmp_path / "wh"))
+    sd.run_available_now(docs_dir, str(tmp_path / "cp"), max_files_per_trigger=1)
+
+    probe = spark.createDataFrame([(999, _near(A1))], "doc_id long, text string")
+    before = {
+        (r["new_id"], r["orig_id"])
+        for r in sd.index.match_documents(probe, sd.corpus.read()).collect()
+    }
+    files_before = len(sd.index.minhash_bands.current_snapshot().files)
+    n_docs_before = sd.index.minhash_bands.current_snapshot().counters["n_docs"]
+    sd.index.compact(target_partitions=2, expire_keep_last=1)
+    snap = sd.index.minhash_bands.current_snapshot()
+    assert len(snap.files) <= 2 < files_before
+    assert snap.counters["n_docs"] == n_docs_before  # counters survive
+    after = {
+        (r["new_id"], r["orig_id"])
+        for r in sd.index.match_documents(probe, sd.corpus.read()).collect()
+    }
+    assert after == before == {(999, 101), (999, 201), (999, 302)}
