@@ -212,14 +212,22 @@ def probe_update_cogrouped(
         pos = _positions(left["url_hash"].to_numpy())
         ms = bits[pos].all(axis=1)  # probe BEFORE the OR (this wave's keys)
         bits[pos.ravel().astype(np.int64)] = True
-        out = left.drop(columns=["_bucket"])
-        out["maybe_seen"] = ms
-        out["bucket"] = None
-        out["bloom"] = None
-        frow = {c: [None] for c in out_cols}
-        frow["bucket"] = [bucket]
-        frow["bloom"] = [np.packbits(bits).tobytes()]
-        return pd.concat([out, pd.DataFrame(frow)], ignore_index=True)
+        # explicit column-wise construction, not pd.concat with an all-NA
+        # row: concat's dtype rules for all-NA entries are changing
+        # (pandas FutureWarning) and an int column silently promoted to
+        # float64 would corrupt 64-bit hashes
+        n = len(left)
+        data: dict = {}
+        for c in left.columns:
+            if c == "_bucket":
+                continue
+            vals = left[c].tolist()
+            vals.append(None)
+            data[c] = pd.Series(vals, dtype=object)
+        data["maybe_seen"] = pd.Series(ms.tolist() + [None], dtype=object)
+        data["bucket"] = pd.Series([None] * n + [bucket], dtype=object)
+        data["bloom"] = pd.Series([None] * n + [np.packbits(bits).tobytes()], dtype=object)
+        return pd.DataFrame(data)
 
     return (
         withb.groupBy("_bucket")
