@@ -268,17 +268,28 @@ _SIG_ROWS_COUNTER = None
 
 def with_minhash_sig(shingles: DataFrame) -> DataFrame:
     """(doc_id, grams) → (doc_id, grams, sig): 128 min-hash values per doc
-    with ZERO shuffle — murmur3 per gram JVM-side (transform over the grams
-    array, map-only), then ONE numpy pass per Arrow batch computes all 128
-    affine-permutation mins. Keeping grams alongside lets q_dedup_minhash_lsh
-    cache ONE fused table feeding both the band join (sig) and verification
-    (grams), instead of two stacked caches (VERDICT r03 #4 — measured ≥1 s
-    off the cold path at sf0.1).
+    with ZERO shuffle — ONE Arrow pass per batch hashes every gram with
+    pandas' vectorized 64-bit hash (C speed) and computes all 128
+    affine-permutation mins in numpy. Keeping grams alongside lets
+    q_dedup_minhash_lsh cache ONE fused table feeding both the band join
+    (sig) and verification (grams), instead of two stacked caches
+    (VERDICT r03 #4 — measured ≥1 s off the cold path at sf0.1).
+
+    Gram hashing history: round 2-4 hashed grams JVM-side
+    (``transform(grams, x -> pmod(hash(x), P))``) — but Catalyst evaluates
+    higher-order lambdas INTERPRETED per element, and at 160k docs
+    (~75M grams) that one expression measured 145 s of a 165 s job
+    (segment-profiled at local[16]). ``pd.util.hash_array`` (fixed
+    hash_key ⇒ deterministic across workers/runs) does the same work
+    inside the already-running Arrow pass at C speed. The signature needs
+    determinism, not cross-engine parity: the oracle checks the VERIFIED
+    output against exact Jaccard, never signatures.
 
     Replaces the round-1 explode + 128-column groupBy aggregation — same
-    output, but the 128-wide partial-agg rows (33% of the r01 bench) and
-    the doc_id shuffle are gone entirely. At 100 TB this is a map stage:
-    signature cost scales with corpus bytes, never with shuffle width.
+    output shape, but the 128-wide partial-agg rows (33% of the r01
+    bench) and the doc_id shuffle are gone entirely. At 100 TB this is a
+    map stage: signature cost scales with corpus bytes, never with
+    shuffle width.
     """
     global _sig_udf
     if _sig_udf is None:
@@ -295,16 +306,20 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
         P = np.uint64(tx.HASH_P)
         counter = _SIG_ROWS_COUNTER  # closure-captured (ships to workers)
 
-        def sig(ghs):  # pd.Series[list[int]] -> pd.Series[list[int]]
+        def sig(gs):  # pd.Series[list[str]] -> pd.Series[list[int]]
             if counter is not None:
-                counter.add(len(ghs))
-            if len(ghs) == 0:
+                counter.add(len(gs))
+            if len(gs) == 0:
                 return pd.Series([], dtype=object)
-            lens = ghs.map(len).to_numpy()
-            flat = np.concatenate(
-                [np.asarray(g, dtype=np.int64) for g in ghs]
-            ).astype(np.uint64)
-            m = (A * flat[None, :] + B) % P  # (128, total_grams)
+            lens = gs.map(len).to_numpy()
+            flat = np.concatenate([np.asarray(g, dtype=object) for g in gs])
+            # vectorized 64-bit string hash (siphash, C speed); the fixed
+            # hash_key makes it deterministic across workers and runs
+            gh = (
+                pd.util.hash_array(flat, hash_key="crawl4ai_spark42", categorize=False)
+                % P
+            )  # stays uint64 — signed-64 numpy math is ~300x slower here
+            m = (A * gh[None, :] + B) % P  # (128, total_grams)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             mins = np.minimum.reduceat(m, starts, axis=1)  # (128, n_docs)
@@ -312,15 +327,9 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
 
         _sig_udf = pandas_udf(sig, "array<long>")
 
-    # murmur3 per gram (JVM) → pmod into the permutation domain. The
-    # signature needs determinism, not cross-engine parity: the oracle
-    # checks the VERIFIED output against exact Jaccard, never signatures.
-    ghs = F.transform(
-        F.col("grams"), lambda g: F.pmod(F.hash(g).cast("long"), F.lit(tx.HASH_P))
-    )
     return (
         shingles.where(F.size("grams") > 0)  # same domain as the old groupBy
-        .select("doc_id", "grams", _sig_udf(ghs).alias("sig"))
+        .select("doc_id", "grams", _sig_udf(F.col("grams")).alias("sig"))
     )
 
 
@@ -404,11 +413,17 @@ def ensure_text_index(spark: SparkSession, sf: str) -> "DedupIndex":
     incremental query then only reads the table."""
     from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
 
+    from crawl4ai_llm_spark.operators.dedup_store import SIG_SCHEME
+
     idx = DedupIndex(spark, _index_warehouse(sf, "text"))
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     n = docs.count()  # parquet metadata count — cheap staleness probe
     snap = idx.minhash_bands.current_snapshot()
-    if snap is None or int(snap.counters.get("n_docs", -1)) != n:
+    if (
+        snap is None
+        or int(snap.counters.get("n_docs", -1)) != n
+        or int(snap.counters.get("sig_scheme", 1)) != SIG_SCHEME
+    ):
         idx.catalog.drop("minhash_bands")
         idx.minhash_bands = idx.catalog.table("minhash_bands")
         idx.ingest_documents(docs)
@@ -419,13 +434,19 @@ def ensure_embedding_index(spark: SparkSession, sf: str) -> "DedupIndex":
     """Embedding analog of ensure_text_index (sign band keys)."""
     from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
 
+    from crawl4ai_llm_spark.operators.dedup_store import SIGN_SCHEME
+
     idx = DedupIndex(spark, _index_warehouse(sf, "emb"))
     vecs = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
     n = vecs.count()
     snap = idx.sign_bands.current_snapshot()
-    if snap is None or int(snap.counters.get("n_vecs", -1)) != n:
+    if (
+        snap is None
+        or int(snap.counters.get("n_vecs", -1)) != n
+        or int(snap.counters.get("sign_scheme", 1)) != SIGN_SCHEME
+    ):
         idx.catalog.drop("sign_bands")
         idx.sign_bands = idx.catalog.table("sign_bands")
         idx.ingest_embeddings(vecs)

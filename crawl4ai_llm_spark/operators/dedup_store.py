@@ -38,6 +38,26 @@ from crawl4ai_llm_spark.catalog import Catalog, Table
 JACCARD_TAU = 0.5
 COSINE_DUP_TAU = 0.9
 
+# Signature-scheme versions, stamped into every ingest commit and REQUIRED
+# to match at query time: band keys computed under a different gram-hash /
+# banding scheme silently match NOTHING (found live in round 4 when the
+# gram hash moved from JVM murmur3 to pd.util.hash_array — the persisted
+# index returned 0 candidates with no error). Bump on any change to the
+# signature arithmetic.
+SIG_SCHEME = 2  # 2 = pd.util.hash_array grams + 32×4 MinHash bands
+SIGN_SCHEME = 1  # 4×16-bit coordinate-sign bands
+
+
+def _require_scheme(table: Table, key: str, want: int, what: str) -> None:
+    snap = table.current_snapshot()
+    got = int(snap.counters.get(key, 1)) if snap else want
+    if got != want:
+        raise ValueError(
+            f"dedup index {what} was built under {key}={got}, engine runs "
+            f"{key}={want} — re-ingest the index (band keys from different "
+            "schemes silently match nothing)"
+        )
+
 
 def _widen(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Gate-repartition a narrow scan so the Arrow UDF chain parallelizes
@@ -83,9 +103,14 @@ class DedupIndex:
         )
         bd = dedup.band_rows(dedup.minhash_signatures(sh))
         snap = self.minhash_bands.current_snapshot()
+        if snap is not None:
+            _require_scheme(self.minhash_bands, "sig_scheme", SIG_SCHEME, "minhash_bands")
         prev = int(snap.counters.get("n_docs", 0)) if snap else 0
         n = docs.count()
-        self.minhash_bands.append(bd, counters={**(counters or {}), "n_docs": prev + n})
+        self.minhash_bands.append(
+            bd,
+            counters={**(counters or {}), "n_docs": prev + n, "sig_scheme": SIG_SCHEME},
+        )
         return n
 
     def ingest_embeddings(
@@ -97,9 +122,14 @@ class DedupIndex:
 
         bk = dedup.sign_band_rows(_widen(vecs, self.spark), "vec_id")
         snap = self.sign_bands.current_snapshot()
+        if snap is not None:
+            _require_scheme(self.sign_bands, "sign_scheme", SIGN_SCHEME, "sign_bands")
         prev = int(snap.counters.get("n_vecs", 0)) if snap else 0
         n = vecs.count()
-        self.sign_bands.append(bk, counters={**(counters or {}), "n_vecs": prev + n})
+        self.sign_bands.append(
+            bk,
+            counters={**(counters or {}), "n_vecs": prev + n, "sign_scheme": SIGN_SCHEME},
+        )
         return n
 
     # ------------------------------------------------------------------ maintenance
@@ -143,6 +173,7 @@ class DedupIndex:
         stored_bd = self.minhash_bands.read()
         if stored_bd is None:
             raise ValueError("dedup index is empty — ingest_documents first")
+        _require_scheme(self.minhash_bands, "sig_scheme", SIG_SCHEME, "minhash_bands")
         # fused cache: grams feed verification, sig feeds banding
         fused = dedup.with_minhash_sig(
             _widen(batch, self.spark).select(
@@ -198,6 +229,7 @@ class DedupIndex:
         stored_bk = self.sign_bands.read()
         if stored_bk is None:
             raise ValueError("dedup index is empty — ingest_embeddings first")
+        _require_scheme(self.sign_bands, "sign_scheme", SIGN_SCHEME, "sign_bands")
         batch = batch.cache()  # feeds band keys AND verification
         batch_bk = dedup.sign_band_rows(batch, "vec_id")
         cand = (

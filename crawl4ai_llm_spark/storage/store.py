@@ -441,10 +441,13 @@ class ProductStore:
         existing_docs = existing.select(
             F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
         )
+        from crawl4ai_llm_spark.operators.dedup_store import SIG_SCHEME
+
         n_store = existing.count()
         snap = idx.minhash_bands.current_snapshot()
         n_idx = int(snap.counters.get("n_docs", 0)) if snap else 0
-        if n_idx != n_store:
+        scheme_ok = snap is None or int(snap.counters.get("sig_scheme", 1)) == SIG_SCHEME
+        if n_idx != n_store or not scheme_ok:
             idx.catalog.drop("minhash_bands")
             idx.minhash_bands = idx.catalog.table("minhash_bands")
             if n_store:
