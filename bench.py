@@ -77,14 +77,30 @@ def cpu_state_control() -> dict:
     # temporaries at 32 threads) so the calibration never swaps/OOMs a box
     # already running Spark — swapping would corrupt the very anchor this
     # measures; reps keep each timed pass long enough to be stable
+    def cpu_ticks() -> tuple[int, int]:
+        # (user+nice, system) jiffies across all cpus — /proc/stat line 1
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[1]) + int(parts[2]), int(parts[3])
+
     n = default_parallelism()
     arrays = [np.arange(2_000_000, dtype=np.uint64) for _ in range(n)]
     with ThreadPoolExecutor(max_workers=n) as pool:
         list(pool.map(one_pass, arrays))  # warm pass (faults)
+        u0, s0 = cpu_ticks()
         t0 = time.time()
         list(pool.map(lambda a: one_pass(a, reps=4), arrays))
         allcore_sec = time.time() - t0
-    return {"single_sec": round(single_sec, 3), "allcore_sec": round(allcore_sec, 3)}
+        u1, s1 = cpu_ticks()
+    # sys_frac near 1.0 = the box is burning the load in the KERNEL
+    # (scheduler/interrupt pathology measured on this sandbox — identical
+    # code then runs 2-5x slower); user-dominated = healthy
+    du, ds = u1 - u0, s1 - s0
+    return {
+        "single_sec": round(single_sec, 3),
+        "allcore_sec": round(allcore_sec, 3),
+        "allcore_sys_frac": round(ds / max(1, du + ds), 3),
+    }
 
 
 def store_point_lookup(spark, tmpdir: str, n_rows: int = 200_000) -> float:

@@ -3,11 +3,14 @@
 Image/audio/video payloads are ``binary`` columns with a typed metadata
 struct; every transform runs as an Arrow-batched pandas function over
 ``mapInPandas`` — the schema, partitioning, UDF signatures, and batch
-shapes are real and tested. The actual codec work (JPEG decode, resample,
-frame extraction) is STUBBED: the codec libraries (PIL/libav/ffmpeg) are
-not in this container, so ``decode_*`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-derived stand-in so
-the distributed plumbing can be exercised end-to-end.
+shapes are real and tested. Codec status (round 4): image decode and
+resize are REAL for PNG/PPM/24-bit-BMP via the pure-stdlib decoders in
+``multimodal/codecs.py`` (round-trip tested across every PNG filter
+type); JPEG uses PIL when present; undecodable payloads degrade per-row
+(null stats + null ``decoder`` tag), never job-fatally. Video frame
+extraction remains honestly stubbed on libav/ffmpeg (absent here), with
+``fake=True`` substituting a deterministic stand-in so the distributed
+plumbing is exercised end-to-end.
 
 Scale notes: payloads never pass through Python row-by-row — each batch is
 one Arrow buffer; feature extraction is numpy over the buffer. Partitioning
@@ -95,35 +98,115 @@ def media_table_from_spans(docs: DataFrame) -> DataFrame:
     return spans.mapInPandas(build, MEDIA_SCHEMA)
 
 
+DECODE_SCHEMA = (
+    "media_id string, decoder string, width int, height int, channels int, "
+    "mean_px double, std_px double"
+)
+
+
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode stub: real decode needs PIL/turbojpeg (absent here). With
-    fake=True, emits deterministic pixel stats derived from payload bytes —
-    same schema and batch path the real decoder would use."""
-    try:
-        import PIL.Image  # noqa: F401
+    """Per-asset image decode + pixel stats.
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
+    REAL decode (round 4) for the formats the stdlib can handle — PNG
+    (zlib inflate + filter reconstruction), PPM, 24-bit BMP
+    (multimodal/codecs.py) — and PIL for JPEG when present. Payloads that
+    no available decoder handles yield a row with ``decoder`` null and
+    null stats: per-row tolerance, because at 10⁹ assets one corrupt
+    payload must never kill the job (filter ``decoder IS NULL`` to
+    quarantine). ``fake=True`` keeps the deterministic byte-derived
+    stand-in (decoder='fake') for plumbing tests on synthetic payloads."""
+    if fake:
 
-    if not have_pil and not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libjpeg (absent in this environment); "
-            "pass fake=True for the deterministic stand-in"
-        )
+        def run_fake(batches):
+            for pdf in batches:
+                arrs = [
+                    np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                    for p in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "decoder": "fake",
+                        "width": None,
+                        "height": None,
+                        "channels": None,
+                        "mean_px": [round(float(a.mean()), 6) for a in arrs],
+                        "std_px": [round(float(a.std()), 6) for a in arrs],
+                    }
+                )
 
-    schema = "media_id string, mean_px double, std_px double"
+        return media.where(F.col("kind") == "image").mapInPandas(run_fake, DECODE_SCHEMA)
 
     def run(batches):
+        from crawl4ai_llm_spark.multimodal import codecs
+
+        try:
+            from PIL import Image as _PILImage  # noqa: N813
+        except ImportError:
+            _PILImage = None
+
         for pdf in batches:
-            arrs = [np.frombuffer(p, dtype=np.uint8).astype(np.float64) for p in pdf["payload"]]
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                got = codecs.decode_any(payload)
+                if got is None and _PILImage is not None and codecs.sniff(payload) == "jpeg":
+                    import io
+
+                    try:
+                        img = np.asarray(_PILImage.open(io.BytesIO(payload)))
+                        got = ("jpeg", img if img.ndim == 3 else img[:, :, None])
+                    except Exception:
+                        got = None
+                if got is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                fmt, img = got
+                px = img.astype(np.float64)
+                rows.append(
+                    (
+                        mid,
+                        fmt,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        round(float(px.mean()), 6),
+                        round(float(px.std()), 6),
+                    )
+                )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "mean_px": [round(float(a.mean()), 6) for a in arrs],
-                    "std_px": [round(float(a.std()), 6) for a in arrs],
-                }
+                rows,
+                columns=[
+                    "media_id", "decoder", "width", "height", "channels",
+                    "mean_px", "std_px",
+                ],
             )
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, DECODE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Thumbnail every decodable image to (out_w, out_h) via numpy
+    nearest-neighbor (codecs.resize_nearest), re-encoding as PNG —
+    (media_id, decoder, thumb binary); undecodable payloads pass through
+    with a null thumb. The real resize operator the media pipeline runs
+    at ingest (a production swap to libpng/Lanczos keeps this contract)."""
+    schema = "media_id string, decoder string, thumb binary"
+
+    def run(batches):
+        from crawl4ai_llm_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = codecs.decode_any(bytes(payload))
+                if got is None:
+                    rows.append((mid, None, None))
+                    continue
+                fmt, img = got
+                small = codecs.resize_nearest(img, out_w, out_h)
+                rows.append((mid, fmt, codecs.encode_png(small)))
+            yield pd.DataFrame(rows, columns=["media_id", "decoder", "thumb"])
 
     return media.where(F.col("kind") == "image").mapInPandas(run, schema)
 

@@ -30,18 +30,6 @@ def test_media_table_schema_and_determinism(spark, docs_df):
     assert all(again[x["media_id"]] == bytes(x["payload"]) for x in rows)
 
 
-def test_decode_image_stub_raises_without_codec(spark, docs_df):
-    media = mm.media_table_from_spans(docs_df)
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL present; stub branch not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(media, fake=False)
-
-
 def test_decode_image_fake_path(spark, docs_df):
     media = mm.media_table_from_spans(docs_df)
     out = mm.decode_image(media, fake=True)
@@ -49,6 +37,78 @@ def test_decode_image_fake_path(spark, docs_df):
     n_images = media.where(F.col("kind") == "image").count()
     assert len(rows) == n_images
     assert all(0 <= r["mean_px"] <= 255 for r in rows)
+    assert all(r["decoder"] == "fake" for r in rows)
+
+
+def _gradient(h, w, ch):
+    import numpy as np
+
+    return (
+        (np.arange(h)[:, None, None] * 31 + np.arange(w)[None, :, None] * 7
+         + np.arange(ch)[None, None, :] * 101) % 256
+    ).astype(np.uint8)
+
+
+def test_codec_roundtrips_every_png_filter_and_format():
+    """decode(encode(x)) == x for PNG with each filter type 0-4 (gray, RGB
+    and RGBA), PPM, and BMP — the decoders are real, spec-following code,
+    not stubs (round 4)."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import codecs
+
+    for ch in (1, 3, 4):
+        img = _gradient(9, 7, ch)
+        for f in range(5):
+            assert np.array_equal(codecs.decode_png(codecs.encode_png(img, f)), img), (ch, f)
+        # mixed per-row filters
+        assert np.array_equal(
+            codecs.decode_png(codecs.encode_png(img, [0, 1, 2, 3, 4, 1, 2, 3, 4])), img
+        )
+    rgb = _gradient(5, 6, 3)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(rgb)), rgb)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+    # resize: corners survive nearest-neighbor
+    small = codecs.resize_nearest(rgb, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], rgb[0, 0])
+
+
+def test_decode_image_real_path_and_per_row_tolerance(spark):
+    """The Spark decode operator really decodes PNG/PPM/BMP payloads
+    (stats equal numpy ground truth) and degrades PER-ROW on undecodable
+    bytes — null decoder + null stats, never a job failure."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import codecs
+
+    img = _gradient(12, 8, 3)
+    payloads = [
+        ("png0", codecs.encode_png(img, 3)),
+        ("ppm0", codecs.encode_ppm(img)),
+        ("bmp0", codecs.encode_bmp(img)),
+        ("junk", b"\x00\x01definitely-not-an-image" * 10),
+    ]
+    rows = [
+        (mid, "image", bytearray(p), {"width": 8, "height": 12, "duration_ms": None, "codec": "x"})
+        for mid, p in payloads
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.decode_image(media).collect()}
+    want_mean = round(float(img.astype(np.float64).mean()), 6)
+    for mid, fmt in (("png0", "png"), ("ppm0", "ppm"), ("bmp0", "bmp")):
+        r = got[mid]
+        assert r["decoder"] == fmt
+        assert (r["width"], r["height"], r["channels"]) == (8, 12, 3)
+        assert r["mean_px"] == want_mean
+    assert got["junk"]["decoder"] is None and got["junk"]["mean_px"] is None
+
+    # thumbnails: real resize + PNG re-encode, verified by re-decoding
+    thumbs = {r["media_id"]: r for r in mm.resize_images(media, 4, 6).collect()}
+    t = codecs.decode_png(bytes(thumbs["png0"]["thumb"]))
+    assert t.shape == (6, 4, 3)
+    assert np.array_equal(t, codecs.resize_nearest(img, 4, 6))
+    assert thumbs["junk"]["thumb"] is None
 
 
 def test_extract_features_shape(spark, docs_df):
