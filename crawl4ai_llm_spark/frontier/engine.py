@@ -564,8 +564,13 @@ class FrontierEngine:
             if cfg.seen_filter == "bloom" and transport == "partitioned":
                 # the probe cogroup already produced the next filter rows
                 # (probe_update_cogrouped) — this is a write from cache,
-                # no second cogroup, no second filter-table scan
-                self.blooms_table.overwrite(new_filters, counters=wave_tag)
+                # no second cogroup, no second filter-table scan.
+                # new_filters is None when the wave ran with NO seen table
+                # (probe branch skipped): nothing to commit — the next
+                # wave's probe does a fresh full build from the seen table
+                # this wave is committing (code-review r04 finding)
+                if new_filters is not None:
+                    self.blooms_table.overwrite(new_filters, counters=wave_tag)
             elif cfg.seen_filter == "bloom" and self._blooms is not None:
                 self._bloom_or(bloom_mod.build_blooms(new_links, cfg.bloom_buckets))
             elif cfg.seen_filter == "cuckoo" and self._cuckoo is not None:

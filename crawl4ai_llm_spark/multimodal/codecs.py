@@ -9,10 +9,14 @@ round-trip tested against hand-built pixel arrays for every PNG filter
 type. JPEG/video stay honestly gated on PIL/libav.
 
 Scale note: these decoders run inside Arrow-batched ``mapInPandas`` — one
-Python call per asset, numpy per row of pixels. A production cluster would
-swap in libpng/turbojpeg behind the same sniff+decode interface; the
-operator contract (schema, partitioning, per-row error tolerance) is what
-the engine defines, and it is identical for both.
+Python call per asset. Cost model per PNG filter type: None/Up/Sub rows
+reconstruct in vectorized numpy; Average/Paeth rows fall to a per-pixel
+Python loop (the recurrence mixes the in-progress row through floor-div /
+3-way min — inherently sequential), so real-world PNGs heavy in filters
+3/4 decode at Python speed, not numpy speed. A production cluster swaps
+in libpng/turbojpeg behind the same sniff+decode interface; the operator
+contract (schema, partitioning, per-row error tolerance) is what the
+engine defines, and it is identical for both.
 """
 
 from __future__ import annotations
@@ -96,17 +100,25 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
         if ftype == 0:  # None
             rec = cur
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — vectorized
             rec = (cur + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the in-progress row
+        elif ftype == 1:  # Sub — a per-lane prefix sum: rec[x] = cur[x] +
+            # rec[x-bpp], i.e. cumsum over each byte lane; (a+b) mod 256
+            # distributes over the int64 cumsum, so one numpy pass per lane
+            rec = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.int64)
+            rec &= 0xFF
+        else:  # Average / Paeth: the recurrence mixes prev-row and the
+            # in-progress row through floor-div / a 3-way min — inherently
+            # sequential per lane; per-pixel loop (a production swap to
+            # libpng replaces exactly this, module docstring)
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
-                if ftype == 1:  # Sub
-                    rec[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:  # Average
+                if ftype == 3:  # Average
                     rec[x] = (cur[x] + (a + b) // 2) & 0xFF
                 elif ftype == 4:  # Paeth
                     rec[x] = (cur[x] + _paeth(a, b, c)) & 0xFF

@@ -76,8 +76,10 @@ SIGN_BAND_BITS = 16
 BROADCAST_PAIR_BUDGET = 2_000_000
 
 
-def _broadcast_if_small(cand: DataFrame) -> DataFrame:
+def _broadcast_if_small(cand: DataFrame, caches: list | None = None) -> DataFrame:
     cand = cand.cache()
+    if caches is not None:  # looping callers unpersist (r04 leak finding)
+        caches.append(cand)
     return F.broadcast(cand) if cand.count() <= BROADCAST_PAIR_BUDGET else cand
 
 
@@ -138,6 +140,34 @@ def word_ngrams_fast(col, n: int = 3):
     return _grams3_udf(col)
 
 
+def estimated_scan_partitions(df: DataFrame) -> int:
+    """Driver-metadata estimate of the scan's split count: Spark splits
+    parquet at spark.sql.files.maxPartitionBytes, so a FEW BIG files still
+    yield many splits — counting files alone (the first r04 gate) would
+    force a full-corpus shuffle on a one-file 10 GB table that already
+    scans 80-wide (code-review r04 finding). Returns 0 for non-file
+    sources (createDataFrame batches). No job, no RDD conversion (the
+    r03 df.rdd.getNumPartitions() gate cost a measured 0.25 s)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    max_bytes = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    total = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return len(files)  # non-local URI: fall back to the file count
+    return max(len(files), total // max_bytes)
+
+
 def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # the documents table arrives as few parquet files — without an explicit
@@ -146,11 +176,8 @@ def doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
     # round-robin shuffle of the corpus, so it runs ONLY when the scan is
     # narrower than the executors (at 100 TB the scan has plenty of splits
     # and the shuffle is skipped, keeping the signature pass map-only).
-    # len(inputFiles()) is the gate — pure driver metadata, vs the
-    # df.rdd.getNumPartitions() it replaced, whose RDD conversion cost a
-    # measured 0.25 s of cold start (VERDICT r03 #4).
     par = spark.sparkContext.defaultParallelism
-    if len(docs.inputFiles()) < par:
+    if estimated_scan_partitions(docs) < par:
         docs = docs.repartition(par)
     return docs.select("doc_id", word_ngrams_fast(F.col("text")).alias("grams"))
 
@@ -405,28 +432,40 @@ def _index_warehouse(sf: str, kind: str) -> str:
     return os.path.join(root, "spark-warehouse", f"dedup_index_{kind}_{base}")
 
 
+def _source_fingerprint(df: DataFrame) -> int:
+    """Driver-metadata fingerprint of a file-backed table (paths + sizes +
+    mtimes): detects a REGENERATED corpus whose row count happens to match
+    the persisted index's (code-review r04 — a count probe alone would
+    silently reuse band keys computed from the old texts)."""
+    import os
+    import zlib
+    from urllib.parse import urlparse
+
+    h = 0
+    for f in sorted(df.inputFiles()):
+        p = urlparse(f).path or f
+        try:
+            st = os.stat(p)
+            h = zlib.crc32(f"{f}:{st.st_size}:{int(st.st_mtime)}".encode(), h)
+        except OSError:
+            h = zlib.crc32(f.encode(), h)
+    return h
+
+
 def ensure_text_index(spark: SparkSession, sf: str) -> "DedupIndex":
     """Ingest-time step of the incremental simulation: the corpus's MinHash
-    band keys are committed ONCE to a persisted table (re-ingested only if
-    the corpus row count changed — a different sf was generated). This is
+    band keys are committed ONCE to a persisted table, re-ingested when
+    the corpus row count, source-file fingerprint, or signature scheme
+    changes (DedupIndex.sync_documents — single staleness policy). This is
     the work a production pipeline does as each batch ARRIVES; the
-    incremental query then only reads the table."""
+    incremental query then only reads the table. Single-writer assumption:
+    concurrent sessions racing the re-ingest of one sf directory are not
+    defended (the driver runs queries sequentially)."""
     from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
-
-    from crawl4ai_llm_spark.operators.dedup_store import SIG_SCHEME
 
     idx = DedupIndex(spark, _index_warehouse(sf, "text"))
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    n = docs.count()  # parquet metadata count — cheap staleness probe
-    snap = idx.minhash_bands.current_snapshot()
-    if (
-        snap is None
-        or int(snap.counters.get("n_docs", -1)) != n
-        or int(snap.counters.get("sig_scheme", 1)) != SIG_SCHEME
-    ):
-        idx.catalog.drop("minhash_bands")
-        idx.minhash_bands = idx.catalog.table("minhash_bands")
-        idx.ingest_documents(docs)
+    idx.sync_documents(docs, tags={"src_fp": _source_fingerprint(docs)})
     return idx
 
 
@@ -434,22 +473,11 @@ def ensure_embedding_index(spark: SparkSession, sf: str) -> "DedupIndex":
     """Embedding analog of ensure_text_index (sign band keys)."""
     from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
 
-    from crawl4ai_llm_spark.operators.dedup_store import SIGN_SCHEME
-
     idx = DedupIndex(spark, _index_warehouse(sf, "emb"))
     vecs = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
-    n = vecs.count()
-    snap = idx.sign_bands.current_snapshot()
-    if (
-        snap is None
-        or int(snap.counters.get("n_vecs", -1)) != n
-        or int(snap.counters.get("sign_scheme", 1)) != SIGN_SCHEME
-    ):
-        idx.catalog.drop("sign_bands")
-        idx.sign_bands = idx.catalog.table("sign_bands")
-        idx.ingest_embeddings(vecs)
+    idx.sync_embeddings(vecs, tags={"src_fp": _source_fingerprint(vecs)})
     return idx
 
 

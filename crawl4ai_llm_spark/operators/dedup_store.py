@@ -62,13 +62,12 @@ def _require_scheme(table: Table, key: str, want: int, what: str) -> None:
 def _widen(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Gate-repartition a narrow scan so the Arrow UDF chain parallelizes
     (same policy as dedup.doc_shingles: skip the shuffle when the source
-    already has enough splits — always true at 100 TB)."""
+    already has enough splits — always true at 100 TB; splits estimated
+    from file sizes, not file count)."""
+    from crawl4ai_llm_spark.operators.dedup import estimated_scan_partitions
+
     par = spark.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0  # non-file source (createDataFrame batches): widen
-    if n_files >= par:
+    if estimated_scan_partitions(df) >= par:
         return df
     return df.repartition(par)
 
@@ -132,6 +131,67 @@ class DedupIndex:
         )
         return n
 
+    # ------------------------------------------------------------------ sync
+
+    def _sync(
+        self,
+        table_name: str,
+        count_key: str,
+        n: int,
+        scheme_key: str,
+        scheme: int,
+        ingest,
+        tags: dict | None,
+    ) -> bool:
+        """ONE staleness policy for every consumer (code-review r04: the
+        check-drop-reingest sequence was triplicated with hand-copied
+        counter names). The stored table is fresh iff the row-count
+        counter, the scheme version, every caller tag, and the absence of
+        a pending ``stale`` flag all hold; anything else drops and
+        re-ingests. Returns True if it re-ingested."""
+        tbl = getattr(self, table_name)
+        snap = tbl.current_snapshot()
+        fresh = (
+            snap is not None
+            and int(snap.counters.get(count_key, -1)) == n
+            and int(snap.counters.get(scheme_key, 1)) == scheme
+            and not snap.counters.get("stale")
+            and all(snap.counters.get(k) == v for k, v in (tags or {}).items())
+        )
+        if fresh:
+            return False
+        self.catalog.drop(table_name)
+        setattr(self, table_name, self.catalog.table(table_name))
+        ingest(counters=dict(tags or {}))
+        return True
+
+    def sync_documents(self, docs: DataFrame, tags: dict | None = None) -> bool:
+        """Ensure minhash_bands matches ``docs`` (+ caller tags, e.g. a
+        source fingerprint or indexed-column id); re-ingest on any
+        mismatch. One docs.count() as the cheap probe."""
+        n = docs.count()
+        return self._sync(
+            "minhash_bands", "n_docs", n, "sig_scheme", SIG_SCHEME,
+            lambda counters: self.ingest_documents(docs, counters=counters), tags,
+        )
+
+    def sync_embeddings(self, vecs: DataFrame, tags: dict | None = None) -> bool:
+        n = vecs.count()
+        return self._sync(
+            "sign_bands", "n_vecs", n, "sign_scheme", SIGN_SCHEME,
+            lambda counters: self.ingest_embeddings(vecs, counters=counters), tags,
+        )
+
+    def mark_stale(self) -> None:
+        """Flag the index for rebuild at the next sync — the UPDATE path's
+        hook: a mutation that edits already-indexed content leaves the
+        band keys wrong at an UNCHANGED row count, which no count probe
+        can see (code-review r04: update_products + reject_near_dups)."""
+        for tbl in (self.minhash_bands, self.sign_bands):
+            snap = tbl.current_snapshot()
+            if snap is not None:
+                tbl.retag({**snap.counters, "stale": 1})
+
     # ------------------------------------------------------------------ maintenance
 
     def compact(
@@ -157,7 +217,11 @@ class DedupIndex:
     # ------------------------------------------------------------------ match
 
     def match_documents(
-        self, batch: DataFrame, stored_docs: DataFrame, tau: float = JACCARD_TAU
+        self,
+        batch: DataFrame,
+        stored_docs: DataFrame,
+        tau: float = JACCARD_TAU,
+        caches: list | None = None,
     ) -> DataFrame:
         """(new_id, orig_id, jaccard): every batch doc paired with each
         stored doc it duplicates at exact full-gram Jaccard ≥ tau.
@@ -167,7 +231,21 @@ class DedupIndex:
         equi-joined on (band, key); verification re-derives grams only for
         the stored docs that MATCHED (semi-join into ``stored_docs``, which
         at scale is bucket/pushdown-pruned — candidates ∝ true dups).
-        ``batch``/``stored_docs``: (doc_id, text)."""
+        ``batch``/``stored_docs``: (doc_id, text).
+
+        RECALL is the banding curve, not 1.0: a true pair at Jaccard J is
+        missed by every band with probability (1 − J⁴)³² — ~1.5e-15 at
+        J ≥ 0.9 but ~13% right AT the default tau 0.5 (precision stays
+        exact: every candidate is verified on full gram sets). Callers
+        needing tight recall at low tau should widen the banding
+        (dedup.N_BANDS/ROWS_PER_BAND) — documented rather than hidden,
+        per code-review r04.
+
+        ``caches``: per-call cached DataFrames are appended here so a
+        LOOPING caller (StreamingDedup, the store's content tier) can
+        unpersist them — each batch's plans are unique, so CacheManager
+        dedupe never reclaims them (r04 leak finding). When None, the
+        caches are session-lifetime (the bench-query sharing mode)."""
         from crawl4ai_llm_spark.operators import dedup
 
         stored_bd = self.minhash_bands.read()
@@ -180,6 +258,8 @@ class DedupIndex:
                 "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
             )
         ).cache()
+        if caches is not None:
+            caches.append(fused)
         batch_bd = dedup.band_rows(fused.select("doc_id", "sig"))
         cand = (
             batch_bd.alias("n")
@@ -190,7 +270,7 @@ class DedupIndex:
             .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("orig_id"))
             .distinct()
         )
-        cand = dedup._broadcast_if_small(cand)
+        cand = dedup._broadcast_if_small(cand, caches=caches)
         # verification: only MATCHED stored docs are read and re-shingled
         matched = cand.select(F.col("orig_id").alias("doc_id")).distinct()
         orig_sh = _widen(
@@ -217,12 +297,17 @@ class DedupIndex:
         )
 
     def match_embeddings(
-        self, batch: DataFrame, stored_vecs: DataFrame, tau: float = COSINE_DUP_TAU
+        self,
+        batch: DataFrame,
+        stored_vecs: DataFrame,
+        tau: float = COSINE_DUP_TAU,
+        caches: list | None = None,
     ) -> DataFrame:
         """(new_id, orig_id, cos_sim): batch vectors vs the stored corpus at
         exact cosine ≥ tau. One sign-band Arrow pass over the batch; the
         stored side is the persisted band table; verification joins only
-        matched stored vectors. ``batch``/``stored_vecs``: (vec_id, v)."""
+        matched stored vectors. ``batch``/``stored_vecs``: (vec_id, v).
+        ``caches``: see match_documents."""
         from crawl4ai_llm_spark.functions import vectors as vx
         from crawl4ai_llm_spark.operators import dedup
 
@@ -231,6 +316,8 @@ class DedupIndex:
             raise ValueError("dedup index is empty — ingest_embeddings first")
         _require_scheme(self.sign_bands, "sign_scheme", SIGN_SCHEME, "sign_bands")
         batch = batch.cache()  # feeds band keys AND verification
+        if caches is not None:
+            caches.append(batch)
         batch_bk = dedup.sign_band_rows(batch, "vec_id")
         cand = (
             batch_bk.alias("n")
@@ -241,7 +328,7 @@ class DedupIndex:
             .select(F.col("n.vec_id").alias("new_id"), F.col("o.vec_id").alias("orig_id"))
             .distinct()
         )
-        cand = dedup._broadcast_if_small(cand)
+        cand = dedup._broadcast_if_small(cand, caches=caches)
         va = batch.select(F.col("vec_id").alias("new_id"), F.col("v").alias("va"))
         vb = stored_vecs.select(F.col("vec_id").alias("orig_id"), F.col("v").alias("vb"))
         cos = vx.cosine(F.col("va"), F.col("vb"))

@@ -214,12 +214,16 @@ class ProductStore:
             m = p.get("metadata")
             if m is not None and not isinstance(m, dict):
                 raise ValueError(f"record at position {i}: metadata must be a dict")
+        # keys whose value is None in EVERY record are dropped: an all-None
+        # column has no inferable Spark type (NullType would crash deep in
+        # the parquet writer), and schema-on-read treats absent ≡ None —
+        # the same policy ProductData.to_record applies to its fields
         caller_keys = sorted(
             {
                 k
                 for p in products
-                for k in (p.get("metadata") or {})
-                if k not in ("created_at", "updated_at")
+                for k, v in (p.get("metadata") or {}).items()
+                if k not in ("created_at", "updated_at") and v is not None
             }
         )
         if not caller_keys:
@@ -360,9 +364,15 @@ class ProductStore:
         Cost shape: the stored corpus is NEVER rescanned — the batch's
         MinHash band keys equi-join the store's persisted band-key index
         (dedup_store.DedupIndex, maintained here on every save), and
-        verification reads only the matched stored rows. Intra-batch
-        content dups are NOT checked (the id tier handles identity;
-        dedup the batch itself with operators/dedup first if needed).
+        verification reads only the matched stored rows. RECALL is the
+        MinHash banding curve, NOT a deterministic guarantee: a true pair
+        at Jaccard J is missed with probability (1 − J⁴)³² — negligible
+        (~1.5e-15) at J ≥ 0.9 but ~13% right AT the default tau 0.5, so
+        borderline near-dups can commit; flagged matches are always TRUE
+        matches (exact verification). See DedupIndex.match_documents.
+        Intra-batch content dups are NOT checked (the id tier handles
+        identity; dedup the batch itself with operators/dedup first if
+        needed).
         The index is derived data: if it diverges from the store (a crash
         between the two commits), it is rebuilt from the live table —
         at Iceberg scale this becomes an incremental MERGE repair."""
@@ -373,7 +383,11 @@ class ProductStore:
         # a struct-typed metadata column merges per the reference semantics
         # (_ensure_id_and_stamps); any other type is rejected there loudly
         batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
-        cached = batch  # "skip" mode rebinds batch to a filtered view of this cache
+        # every per-call cache lands here and is unpersisted on exit — the
+        # content tier's match plans are unique per save and would leak
+        # (code-review r04); "skip" mode also rebinds batch to a filtered
+        # view of the first entry
+        caches: list = [batch]
         try:
             # samples are sorted BEFORE the limit so the error payload is
             # deterministic run-to-run (an unordered .limit(20) returns
@@ -396,7 +410,7 @@ class ProductStore:
                     )
             if reject_near_dups is not None:
                 batch = self._content_dup_tier(
-                    batch, existing, reject_near_dups, near_dup_tau, on_near_dup
+                    batch, existing, reject_near_dups, near_dup_tau, on_near_dup, caches
                 )
             n, max_seq = batch.agg(
                 F.count("*").alias("n"), F.max("_seq").alias("m")
@@ -405,20 +419,26 @@ class ProductStore:
                 return 0  # every row skipped as a near-dup: nothing to commit
             self.table.append(batch, counters={"max_seq": int(max_seq)})
             if reject_near_dups is not None:
-                # maintain the index: the committed batch's band keys append
-                # (tagged with the data snapshot for divergence detection)
+                # maintain the index: the committed batch's band keys append.
+                # text_col_crc must ride along — sync_documents requires it
+                # to match on the NEXT save (a missing tag reads as a
+                # changed checked column and would force a full rebuild)
+                import zlib
+
                 self._content_index().ingest_documents(
                     batch.select(
                         F.col("id").alias("doc_id"),
                         F.col(reject_near_dups).cast("string").alias("text"),
                     ),
                     counters={
-                        "data_snapshot": self.table.current_snapshot().snapshot_id
+                        "data_snapshot": self.table.current_snapshot().snapshot_id,
+                        "text_col_crc": zlib.crc32(reject_near_dups.encode()),
                     },
                 )
             return n
         finally:
-            cached.unpersist()
+            for c in caches:
+                c.unpersist()
 
     def _content_dup_tier(
         self,
@@ -427,12 +447,20 @@ class ProductStore:
         text_col: str,
         tau: float,
         on_near_dup: str,
+        caches: list,
     ) -> DataFrame:
         """Batch-vs-stored content check; returns the batch (possibly
-        filtered in "skip" mode). Syncs the index first: a count divergence
-        (crash between data and index commits, or a store written without
-        the content tier) rebuilds it from the live table — idempotent,
-        derived data."""
+        filtered in "skip" mode). Syncs the index first
+        (DedupIndex.sync_documents): a count divergence (crash between
+        data and index commits, or an unindexed save), a changed checked
+        COLUMN, a signature-scheme bump, or a pending ``stale`` flag
+        (set by update_products — an edit to indexed text at an unchanged
+        row count, invisible to any count probe) each rebuild it from the
+        live table — idempotent, derived data. Per-call caches land in
+        ``caches`` (unpersisted by save_products_df's finally — each
+        save's plans are unique, so they would otherwise leak)."""
+        import zlib
+
         from crawl4ai_llm_spark.errors import NearDuplicateContentError
 
         if existing is None:
@@ -441,26 +469,18 @@ class ProductStore:
         existing_docs = existing.select(
             F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
         )
-        from crawl4ai_llm_spark.operators.dedup_store import SIG_SCHEME
-
-        n_store = existing.count()
-        snap = idx.minhash_bands.current_snapshot()
-        n_idx = int(snap.counters.get("n_docs", 0)) if snap else 0
-        scheme_ok = snap is None or int(snap.counters.get("sig_scheme", 1)) == SIG_SCHEME
-        if n_idx != n_store or not scheme_ok:
-            idx.catalog.drop("minhash_bands")
-            idx.minhash_bands = idx.catalog.table("minhash_bands")
-            if n_store:
-                idx.ingest_documents(
-                    existing_docs,
-                    counters={"data_snapshot": self.table.current_snapshot().snapshot_id},
-                )
-        if n_store == 0:
+        if existing.limit(1).count() == 0:
             return batch
+        idx.sync_documents(
+            existing_docs, tags={"text_col_crc": zlib.crc32(text_col.encode())}
+        )
         batch_docs = batch.select(
             F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
         )
-        matches = idx.match_documents(batch_docs, existing_docs, tau=tau)
+        matches = idx.match_documents(
+            batch_docs, existing_docs, tau=tau, caches=caches
+        ).cache()
+        caches.append(matches)
         sample = matches.orderBy("new_id", "orig_id").limit(21).collect()
         if not sample:
             return batch
@@ -470,8 +490,8 @@ class ProductStore:
                 truncated=len(sample) > 20,
             )
         # skip mode: drop every near-dup row, keep the remainder (anti-join
-        # reading the already-cached batch — the match list is bounded by
-        # true duplicates)
+        # reading the cached batch and the cached match list — the list is
+        # bounded by true duplicates)
         return batch.join(
             matches.select(F.col("new_id").alias("id")).distinct(), "id", "left_anti"
         )
@@ -844,6 +864,11 @@ class ProductStore:
             touched,
             counters=self.table.current_snapshot().counters,
         )
+        # an update can EDIT text the content-dedup index has band keys
+        # for, at an unchanged row count — invisible to any count probe.
+        # Flag the index; the next checked save rebuilds it once
+        # (code-review r04: silent false negatives after update)
+        self._content_index().mark_stale()
         return len(updates)
 
     # ------------------------------------------------------------------ deletes

@@ -60,12 +60,16 @@ class StreamingDedup:
         ingest. Idempotent per table under streaming's batch replay."""
         batch_id = int(batch_id)
         batch_df = batch_df.select("doc_id", "text").cache()
+        # per-batch plans are unique — without explicit unpersists every
+        # microbatch would leak its match caches for the life of the
+        # stream (code-review r04 finding)
+        caches: list = [batch_df]
         try:
             if not self._applied(self.matches, batch_id):
                 stored = self.corpus.read()
                 if stored is not None and not self.index.minhash_bands.is_empty():
                     found = self.index.match_documents(
-                        batch_df, stored, tau=self.tau
+                        batch_df, stored, tau=self.tau, caches=caches
                     ).withColumn("batch_id", F.lit(batch_id))
                 else:  # first batch: nothing ingested yet
                     found = self.spark.createDataFrame(
@@ -78,7 +82,8 @@ class StreamingDedup:
             if not self._applied(self.index.minhash_bands, batch_id):
                 self.index.ingest_documents(batch_df, counters={"batch_id": batch_id})
         finally:
-            batch_df.unpersist()
+            for c in caches:
+                c.unpersist()
 
     def run_available_now(
         self, docs_dir: str, checkpoint_dir: str, max_files_per_trigger: int = 1

@@ -631,6 +631,51 @@ def test_save_content_near_dup_tier(spark, tmp_path):
     assert st.save_products_df(_nd_batch(spark, [("n3", near)])) == 1
 
 
+def test_update_marks_content_index_stale(spark, tmp_path):
+    """update_products edits indexed text at an UNCHANGED row count — no
+    count probe can see it. The update must flag the index so the next
+    checked save rebuilds and catches near-dups of the NEW text
+    (code-review r04: silent false negatives after update)."""
+    import pytest as _pytest
+
+    from crawl4ai_llm_spark.errors import NearDuplicateContentError
+    from crawl4ai_llm_spark.storage import ProductStore
+
+    st = ProductStore(spark, str(tmp_path / "nd_upd_wh"))
+    old_text = " ".join(f"o{j} p{j * 3} q{j + 5}" for j in range(12))
+    new_text = " ".join(f"n{j} m{j * 7} k{j + 9}" for j in range(12))
+    st.save_products_df(_nd_batch(spark, [("u0", old_text)]), reject_near_dups="description")
+    st.update_products([{"id": "u0", "description": new_text}])
+    # a near-dup of the NEW text must now be caught (the stale index still
+    # holds OLD text's band keys — the update flagged it for rebuild)
+    with _pytest.raises(NearDuplicateContentError) as ei:
+        st.save_products_df(
+            _nd_batch(spark, [("u1", new_text.replace("n3", "X", 1))]),
+            reject_near_dups="description",
+        )
+    assert any(p[1] == "u0" for p in ei.value.pairs)
+    # and a near-dup of the OLD (replaced) text is correctly NOT a dup
+    assert st.save_products_df(
+        _nd_batch(spark, [("u2", old_text.replace("o3", "Y", 1))]),
+        reject_near_dups="description",
+    ) == 1
+
+
+def test_save_metadata_all_none_key_dropped(store):
+    """A caller metadata key that is None in EVERY record must be dropped
+    (absent ≡ None, schema-on-read), not crash parquet with a NullType
+    column (code-review r04)."""
+    ids = store.save_products(
+        [
+            {**sample_product(70), "metadata": {"discount": None, "source": "a"}},
+            {**sample_product(71), "metadata": {"discount": None}},
+        ]
+    )
+    got = store.get_product(ids[0])
+    assert got["metadata"]["source"] == "a"
+    assert "discount" not in got["metadata"]
+
+
 def test_save_content_dup_index_rebuild_on_divergence(spark, tmp_path):
     """The content index is derived data: a store written WITHOUT the
     content tier (count divergence) gets its index rebuilt transparently
