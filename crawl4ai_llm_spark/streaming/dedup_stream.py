@@ -33,22 +33,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_llm_spark.catalog import Catalog, Table
-from crawl4ai_llm_spark.operators.dedup_store import JACCARD_TAU, DedupIndex
+from crawl4ai_llm_spark.operators.dedup_store import (
+    COSINE_DUP_TAU,
+    JACCARD_TAU,
+    DedupIndex,
+)
 
 DOCS_SCHEMA = "doc_id long, text string"
+VECS_SCHEMA = "vec_id long, v array<double>"
 
 
 class StreamingDedup:
     """Corpus + band index + match log under one warehouse, advanced one
-    microbatch at a time."""
+    microbatch at a time. ``kind="text"`` streams (doc_id, text) rows
+    through the MinHash band index at exact-Jaccard ``tau``;
+    ``kind="embedding"`` streams (vec_id, v array<double>) through the
+    sign-band index at exact-cosine ``tau`` — same tables, same
+    idempotency guards, same backward-only match contract."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, tau: float = JACCARD_TAU):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        tau: float | None = None,
+        kind: str = "text",
+    ):
+        if kind not in ("text", "embedding"):
+            raise ValueError("kind must be 'text' or 'embedding'")
         self.spark = spark
-        self.tau = tau
+        self.kind = kind
+        self.tau = tau if tau is not None else (
+            JACCARD_TAU if kind == "text" else COSINE_DUP_TAU
+        )
         self.catalog = Catalog(spark, warehouse)
         self.index = DedupIndex(spark, os.path.join(warehouse, "index"))
         self.corpus: Table = self.catalog.table("corpus")
         self.matches: Table = self.catalog.table("matches")
+        self._id_col = "doc_id" if kind == "text" else "vec_id"
+        self._payload_col = "text" if kind == "text" else "v"
+        self._score_col = "jaccard" if kind == "text" else "cos_sim"
+
+    @property
+    def _index_table(self) -> Table:
+        # resolved live: DedupIndex.sync_* replaces its Table objects on a
+        # rebuild, so a reference captured at __init__ could dangle
+        return self.index.minhash_bands if self.kind == "text" else self.index.sign_bands
 
     @staticmethod
     def _applied(table: Table, batch_id: int) -> bool:
@@ -59,28 +88,40 @@ class StreamingDedup:
         """One microbatch: match vs the already-ingested corpus, then
         ingest. Idempotent per table under streaming's batch replay."""
         batch_id = int(batch_id)
-        batch_df = batch_df.select("doc_id", "text").cache()
+        batch_df = batch_df.select(self._id_col, self._payload_col).cache()
         # per-batch plans are unique — without explicit unpersists every
         # microbatch would leak its match caches for the life of the
         # stream (code-review r04 finding)
         caches: list = [batch_df]
+        match = (
+            self.index.match_documents
+            if self.kind == "text"
+            else self.index.match_embeddings
+        )
+        ingest = (
+            self.index.ingest_documents
+            if self.kind == "text"
+            else self.index.ingest_embeddings
+        )
         try:
             if not self._applied(self.matches, batch_id):
                 stored = self.corpus.read()
-                if stored is not None and not self.index.minhash_bands.is_empty():
-                    found = self.index.match_documents(
+                if stored is not None and not self._index_table.is_empty():
+                    found = match(
                         batch_df, stored, tau=self.tau, caches=caches
                     ).withColumn("batch_id", F.lit(batch_id))
                 else:  # first batch: nothing ingested yet
                     found = self.spark.createDataFrame(
-                        [], "new_id long, orig_id long, jaccard double, batch_id long"
+                        [],
+                        f"new_id long, orig_id long, {self._score_col} double, "
+                        "batch_id long",
                     )
                 self.matches.append(found, counters={"batch_id": batch_id})
             if not self._applied(self.corpus, batch_id):
                 self.corpus.append(batch_df, counters={"batch_id": batch_id})
-            # band-key ingest carries its own n_docs counter — preserve it
-            if not self._applied(self.index.minhash_bands, batch_id):
-                self.index.ingest_documents(batch_df, counters={"batch_id": batch_id})
+            # band-key ingest carries its own cumulative counter — preserved
+            if not self._applied(self._index_table, batch_id):
+                ingest(batch_df, counters={"batch_id": batch_id})
         finally:
             for c in caches:
                 c.unpersist()
@@ -92,8 +133,9 @@ class StreamingDedup:
         ``max_files_per_trigger`` files per microbatch — the offline
         harness; a live deployment drops the trigger and the pipeline
         runs until stopped."""
+        schema = DOCS_SCHEMA if self.kind == "text" else VECS_SCHEMA
         stream = (
-            self.spark.readStream.schema(DOCS_SCHEMA)
+            self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(docs_dir)
         )

@@ -102,6 +102,56 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     assert sd2.corpus.read().count() == n_corpus
 
 
+def _vec(dom: int, scale: float = 1.0):
+    # dominant coordinate `dom` + a small common floor: distinct doms give
+    # cosine ~0.02, scaled copies give cosine 1.0
+    return [scale * (10.0 if j == dom else 0.1) for j in range(64)]
+
+
+def test_streaming_embedding_dedup(spark, tmp_path):
+    """kind='embedding': the same foreachBatch loop over the sign-band
+    index — matches point strictly backward, cos_sim exact, replay
+    idempotent."""
+    import glob
+    import os
+    import shutil
+
+    batches = [
+        [(101, _vec(0)), (102, _vec(7)), (103, _vec(19))],
+        [(201, _vec(0, scale=1.3)), (202, _vec(33))],  # 201 dups 101
+        [(301, _vec(33, scale=0.8)), (302, _vec(0, scale=2.0)), (303, _vec(50))],
+    ]
+    docs_dir = str(tmp_path / "vec_arrivals")
+    os.makedirs(docs_dir)
+    for k, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        stage = os.path.join(docs_dir, f"_stage_{k}")
+        df.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(docs_dir, f"batch-{k}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (1_000_000 + k, 1_000_000 + k))
+
+    sd = StreamingDedup(spark, str(tmp_path / "vec_wh"), kind="embedding")
+    sd.run_available_now(docs_dir, str(tmp_path / "vec_cp"), max_files_per_trigger=1)
+    rows = sd.matches.read().collect()
+    got = {(r["new_id"], r["orig_id"]) for r in rows}
+    # 201 dups 101; 301 dups 202; 302 dups both 101 AND 201 (across batches)
+    assert got == {(201, 101), (301, 202), (302, 101), (302, 201)}
+    for r in rows:
+        assert r["cos_sim"] > 0.99  # positive scaling: cosine exactly ~1
+        assert r["orig_id"] // 100 < r["new_id"] // 100  # backward-only
+    assert sd.corpus.read().count() == 8
+    assert int(sd.index.sign_bands.current_snapshot().counters["n_vecs"]) == 8
+    # replay idempotency
+    n = sd.matches.read().count()
+    sd.process_batch(
+        spark.createDataFrame(batches[1], "vec_id long, v array<double>"), 1
+    )
+    assert sd.matches.read().count() == n
+
+
 def test_index_compaction_bounds_files_and_preserves_matches(spark, tmp_path):
     """Per-batch ingest appends one commit's files per batch; compact()
     with expire_keep_last=1 bounds both the LIVE file set and disk, and
