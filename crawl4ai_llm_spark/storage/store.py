@@ -249,12 +249,22 @@ class ProductStore:
         normalized = [{k: r.get(k) for k in keys} for r in rows]
         return self.spark.createDataFrame(normalized)
 
-    def _ensure_id_and_stamps(self, df: DataFrame, next_seq: int, bulk: bool = False) -> DataFrame:
+    def _ensure_id_and_stamps(
+        self,
+        df: DataFrame,
+        next_seq: int,
+        bulk: bool = False,
+        preserve_stamps: bool = False,
+    ) -> DataFrame:
         """E1 id hierarchy + E4 timestamps + save-order sequence.
 
         id precedence (verified ref behavior, json_storage.py:61-90):
         explicit id → "{store_name}_{sku}" → url-hash id → random.
         Pure column expressions — no Python per row.
+
+        ``preserve_stamps``: the MIGRATION mode (sources/reference_json) —
+        caller-supplied created_at/updated_at survive instead of being
+        engine-overwritten (null stamps still fill with now).
         """
         cols = set(df.columns)
         id_col = F.col("id").cast("string") if "id" in cols else F.lit(None).cast("string")
@@ -292,9 +302,21 @@ class ProductStore:
                 for f in dtype.fields
                 if f.name not in ("created_at", "updated_at")
             ]
+        created, updated = now, now
+        if preserve_stamps and "metadata" in cols:
+            dtype = df.schema["metadata"].dataType
+            names = dtype.fieldNames()
+            if "created_at" in names:
+                created = F.coalesce(
+                    F.col("metadata").getField("created_at").cast("timestamp"), now
+                )
+            if "updated_at" in names:
+                updated = F.coalesce(
+                    F.col("metadata").getField("updated_at").cast("timestamp"), now
+                )
         out = out.withColumn(
             "metadata",
-            F.struct(*meta_fields, now.alias("created_at"), now.alias("updated_at")),
+            F.struct(*meta_fields, created.alias("created_at"), updated.alias("updated_at")),
         )
         if bulk:
             # bulk tier: no meaningful insertion order — a partition-embedded
@@ -347,6 +369,7 @@ class ProductStore:
         reject_near_dups: str | None = None,
         near_dup_tau: float = 0.5,
         on_near_dup: str = "reject",
+        preserve_metadata_stamps: bool = False,
     ) -> int:
         """D2, bulk tier — ingest a DataFrame without any driver-side row
         materialization. Same duplicate semantics as save_products (both
@@ -381,8 +404,12 @@ class ProductStore:
         if on_near_dup not in ("reject", "skip"):
             raise ValueError("on_near_dup must be 'reject' or 'skip'")
         # a struct-typed metadata column merges per the reference semantics
-        # (_ensure_id_and_stamps); any other type is rejected there loudly
-        batch = self._ensure_id_and_stamps(batch, self._next_seq(), bulk=True).cache()
+        # (_ensure_id_and_stamps); any other type is rejected there loudly.
+        # preserve_metadata_stamps = migration mode: original
+        # created_at/updated_at survive (sources/reference_json)
+        batch = self._ensure_id_and_stamps(
+            batch, self._next_seq(), bulk=True, preserve_stamps=preserve_metadata_stamps
+        ).cache()
         # every per-call cache lands here and is unpersisted on exit — the
         # content tier's match plans are unique per save and would leak
         # (code-review r04); "skip" mode also rebinds batch to a filtered
