@@ -140,6 +140,31 @@ def word_ngrams_fast(col, n: int = 3):
     return _grams3_udf(col)
 
 
+_SIZE_SUFFIXES = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(raw: str, default: int = 134217728) -> int:
+    """Spark size-config values accept JVM byte-suffix forms ('128m',
+    '128MB', '1g') as well as plain integers; a bare int() on such a
+    deployment value raised ValueError out of the scan estimate
+    (ADVICE r04). Unparseable ⇒ the 128 MB Spark default."""
+    s = str(raw).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            try:
+                return int(float(s[: -len(suf)]) * _SIZE_SUFFIXES[suf])
+            except ValueError:
+                break
+    return default
+
+
 def estimated_scan_partitions(df: DataFrame) -> int:
     """Driver-metadata estimate of the scan's split count: Spark splits
     parquet at spark.sql.files.maxPartitionBytes, so a FEW BIG files still
@@ -157,7 +182,8 @@ def estimated_scan_partitions(df: DataFrame) -> int:
         return 0
     if not files:
         return 0
-    max_bytes = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = _parse_byte_size(raw)
     total = 0
     for f in files:
         p = urlparse(f).path or f
@@ -728,8 +754,11 @@ def sign_band_keys_fast(
                 m = min(len(v), n)
                 arr[i, :m] = v[:m]
             # dims past the vector length stay 0.0 ⇒ sign bit 0, exactly the
-            # spec's element_at-past-end → null → otherwise(0) behavior
-            bits = (arr > 0).reshape(len(vs), NB, BB).astype(np.uint64)
+            # spec's element_at-past-end → null → otherwise(0) behavior.
+            # NaN coordinates SET the bit: Spark SQL and DuckDB both order
+            # NaN above every number, so the spec's `x > 0` is true there
+            # while numpy's is false (ADVICE r04) — OR in isnan to agree
+            bits = ((arr > 0) | np.isnan(arr)).reshape(len(vs), NB, BB).astype(np.uint64)
             out = (bits * W).sum(axis=2).astype(np.int64)
             return pd.Series(list(out))
 

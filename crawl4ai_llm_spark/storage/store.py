@@ -894,8 +894,14 @@ class ProductStore:
         # an update can EDIT text the content-dedup index has band keys
         # for, at an unchanged row count — invisible to any count probe.
         # Flag the index; the next checked save rebuilds it once
-        # (code-review r04: silent false negatives after update)
-        self._content_index().mark_stale()
+        # (code-review r04: silent false negatives after update). Stores
+        # that never enabled reject_near_dups have no index directory —
+        # skip the construction entirely rather than retag empty tables
+        # (ADVICE r04: avoids per-update overhead + spurious empty dirs)
+        import os
+
+        if os.path.isdir(os.path.join(self.catalog.warehouse, "content_index")):
+            self._content_index().mark_stale()
         return len(updates)
 
     # ------------------------------------------------------------------ deletes

@@ -193,6 +193,11 @@ def test_sign_band_fast_matches_spec(spark):
         (5, []),
         (6, [0.5] * 70),  # longer than 4 bands
         (7, [1e-3, -1e-3] * 32),
+        # NaN sets the bit in BOTH paths: Spark SQL (and DuckDB) order NaN
+        # above every number so the spec's `x > 0` is true; the fast path
+        # ORs in isnan to match (ADVICE r04)
+        (8, [float("nan")] * 64),
+        (9, [float("nan"), -1.0, float("nan"), 0.0] * 16),
     ]
     df = spark.createDataFrame(rows, "vec_id long, v array<double>")
     spec = {
@@ -207,6 +212,20 @@ def test_sign_band_fast_matches_spec(spark):
     }
     assert fast == spec
     assert len(fast) == len(rows) * dedup.SIGN_BANDS
+
+
+def test_parse_byte_size_suffixes():
+    """Spark size configs arrive as plain ints OR JVM suffix forms; the
+    scan estimate must parse both instead of crashing (ADVICE r04)."""
+    p = dedup._parse_byte_size
+    assert p("134217728") == 134217728
+    assert p("128m") == 128 << 20
+    assert p("128MB") == 128 << 20
+    assert p("1g") == 1 << 30
+    assert p("512k") == 512 << 10
+    assert p("64b") == 64
+    assert p("1.5g") == int(1.5 * (1 << 30))
+    assert p("garbage") == 134217728  # unparseable -> Spark default
 
 
 def test_embedding_dedup_plan_has_no_cartesian(spark, sf_dir):
