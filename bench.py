@@ -4,13 +4,32 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus a frontier crawl throughput measurement
 (the north-star metric: URLs scheduled+fetched per second).
 
-Output: {"metric": ..., "value": <total query seconds>, "unit": "sec",
-         "queries": {...per-query seconds...}, "sf": ...,
-         "crawl_urls_per_sec": ..., "cpus": ...}
+Box-state acceptance gate (VERDICT r04 #1): this sandbox burns 96-99% of
+all-core cycles in the KERNEL under concurrent load (identical code then
+runs 2-5x slower — /proc/stat + vmstat evidence, BENCH.md r04). The
+recorded artifact must therefore never be a degraded-box run presented as
+a code measurement. The suite runs up to $SPARK_GRAFT_BENCH_RUNS (default
+3) passes; each pass is bracketed by a fixed numpy cpu-state control and
+stamped with max(sys_frac before, after). The RECORDED numbers are the
+pass with the lowest sys_frac; ALL passes' totals and controls are
+embedded in the JSON ("runs"), so the artifact and any narrative built on
+it cannot diverge. "box_state_ok" is false when even the best pass ran at
+sys_frac >= $SPARK_GRAFT_SYS_FRAC_MAX (default 0.3) — read such a
+recording as box evidence, not code evidence.
 
-Scaling evidence (north rule: N→4N efficiency ≥ 0.8) is produced by
+Output: {"metric": ..., "value": <accepted-run total seconds>,
+         "unit": "sec", "queries": {...accepted-run per-query seconds...},
+         "sf": ..., "crawl_urls_per_sec": ..., "runs": [...all passes...],
+         "box_state_ok": bool, "cpus": ...}
+
+Scaling evidence (north rule: N->4N efficiency >= 0.8) is produced by
 tools/bench_scaling.py, which runs the same crawl at local[8] and
-local[32] in separate processes and writes BENCH.md.
+local[32] in separate processes and writes BENCH.md. The corpus-scaling
+steady-state evidence for the incremental dedup tiers (batch wall vs
+1x/4x/10x corpus) is tools/bench_incremental.py; this file reports the
+single-corpus steady-state number per round (batch ~2% of corpus — the
+shape VERDICT r04 #2 asked for, replacing the all-match whole-corpus
+re-crawl as the headline incremental number).
 """
 
 from __future__ import annotations
@@ -49,13 +68,16 @@ HEADLINE = [
     ("q_ann_multiband", similarity.q_ann_multiband),
 ]
 
+SYS_FRAC_MAX = float(os.environ.get("SPARK_GRAFT_SYS_FRAC_MAX", "0.3"))
+SYS_FRAC_HEALTHY = 0.15  # a pass this clean ends the retry loop early
+
 
 def cpu_state_control() -> dict:
     """Hardware-state calibration anchor: a fixed numpy uint64
     multiply+mod pass, measured single-threaded AND with all cores busy
     (numpy releases the GIL, so threads are real parallelism). The code
     never changes, so run-to-run variation is pure machine state — this
-    box's cores clock down 1.3-1.8× under sustained ALL-CORE load (the
+    box's cores clock down 1.3-1.8x under sustained ALL-CORE load (the
     single-thread number barely moves), which is exactly the regime Spark
     queries run in. Divide cross-round query deltas by the ratio of
     `allcore_sec` before calling them code regressions."""
@@ -73,7 +95,7 @@ def cpu_state_control() -> dict:
     single_sec = min(one_pass(single) for _ in range(3))  # min: first pass pays faults
     del single
 
-    # per-thread arrays kept small (2M × 8 B = 16 MB; ~1 GB transient with
+    # per-thread arrays kept small (2M x 8 B = 16 MB; ~1 GB transient with
     # temporaries at 32 threads) so the calibration never swaps/OOMs a box
     # already running Spark — swapping would corrupt the very anchor this
     # measures; reps keep each timed pass long enough to be stable
@@ -101,6 +123,69 @@ def cpu_state_control() -> dict:
         "allcore_sec": round(allcore_sec, 3),
         "allcore_sys_frac": round(ds / max(1, du + ds), 3),
     }
+
+
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+    """One timed pass over the headline queries (full evaluation via
+    count(), no driver-side row transfer)."""
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in HEADLINE:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    return per_query, round(total, 3)
+
+
+def steady_state_incremental(spark, sf_dir: str) -> dict:
+    """Incremental dedup at its REAL shape: a batch ~2% of the corpus
+    against the persisted index (VERDICT r04 #2 — the headline
+    q_dedup_incremental simulation re-crawls the WHOLE corpus, so every
+    stored doc matches and the wall measures the all-match worst case,
+    not the steady state the docstring claims). The batch here is every
+    50th doc re-crawled under offset ids: batch signature pass + band
+    probe + verify all scale with the BATCH, and the corpus-scaling axis
+    (flat batch wall at 1x/4x/10x corpus) is tools/bench_incremental.py's
+    table in BENCH.md."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_llm_spark.functions import vectors as vx
+    from crawl4ai_llm_spark.operators.dedup import INFLUX_OFFSET, load_table
+
+    idx_t = dedup.ensure_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.pmod("doc_id", F.lit(50)) == 0).select(
+        (F.col("doc_id") + INFLUX_OFFSET).alias("doc_id"), "text"
+    )
+    n_corpus, n_batch = docs.count(), batch.count()
+    t0 = time.time()
+    n_matches = idx_t.match_documents(batch, docs).count()
+    text_sec = round(time.time() - t0, 3)
+
+    idx_e = dedup.ensure_embedding_index(spark, sf_dir)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vx.as_double(F.col("embedding")).alias("v")
+    )
+    vbatch = vecs.where(F.pmod("vec_id", F.lit(50)) == 0).select(
+        (F.col("vec_id") + INFLUX_OFFSET).alias("vec_id"), "v"
+    )
+    t0 = time.time()
+    n_vmatches = idx_e.match_embeddings(vbatch, vecs).count()
+    emb_sec = round(time.time() - t0, 3)
+    out = {
+        "text_sec": text_sec,
+        "emb_sec": emb_sec,
+        "batch_docs": n_batch,
+        "corpus_docs": n_corpus,
+        "text_matches": n_matches,
+        "emb_matches": n_vmatches,
+    }
+    print(f"# incremental steady state (batch ~2% of corpus): {out}", file=sys.stderr)
+    return out
 
 
 def store_point_lookup(spark, tmpdir: str, n_rows: int = 200_000) -> float:
@@ -147,6 +232,7 @@ def crawl_throughput(spark, tmpdir: str) -> tuple[float, int]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    max_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cpus = default_parallelism()
     spark = get_spark(app_name="bench")
 
@@ -157,7 +243,6 @@ def main() -> None:
     # executors are long-lived, so steady-state query times — what the
     # per-query numbers claim to measure — never include this one-time
     # ramp. Documented in BENCH.md.
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -188,16 +273,41 @@ def main() -> None:
     ingest_sec = round(time.time() - t0, 3)
     print(f"# dedup index ingest (one-time, or reused): {ingest_sec}s", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name, fn in HEADLINE:
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full evaluation without driver-side row transfer
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    # ---- box-state-gated suite passes (VERDICT r04 #1) -------------------
+    # controls[i] brackets pass i on the left and pass i-1 on the right; a
+    # pass is stamped with the WORSE of its two brackets, so degradation
+    # during the pass is caught by the trailing control.
+    controls = [cpu_state_control()]
+    print(f"# cpu control (pre run 1): {controls[0]}", file=sys.stderr)
+    runs: list[dict] = []
+    for i in range(max_runs):
+        per_query, total = run_suite(spark, sf_dir)
+        controls.append(cpu_state_control())
+        print(f"# cpu control (post run {i + 1}): {controls[-1]}", file=sys.stderr)
+        sys_frac = max(
+            controls[i]["allcore_sys_frac"], controls[i + 1]["allcore_sys_frac"]
+        )
+        runs.append(
+            {
+                "total_sec": total,
+                "queries": per_query,
+                "sys_frac": sys_frac,
+                "control_before": controls[i],
+                "control_after": controls[i + 1],
+            }
+        )
+        print(f"# run {i + 1}/{max_runs}: {total}s @ sys_frac {sys_frac}", file=sys.stderr)
+        if sys_frac <= SYS_FRAC_HEALTHY:
+            break  # clean box, number trustworthy — skip the remaining passes
+    accepted = min(range(len(runs)), key=lambda i: (runs[i]["sys_frac"], runs[i]["total_sec"]))
+    best = runs[accepted]
+    box_ok = best["sys_frac"] < SYS_FRAC_MAX
+    if not box_ok:
+        print(
+            f"# WARNING: no pass ran under sys_frac {SYS_FRAC_MAX} (best "
+            f"{best['sys_frac']}) — recording is BOX evidence, not code evidence",
+            file=sys.stderr,
+        )
 
     # cold/warm split for the first query: its headline number includes the
     # one-time session/scan warmup; the warm number is what regresses when
@@ -207,6 +317,8 @@ def main() -> None:
     warm_list_page = round(time.time() - t0, 3)
     print(f"# q_list_page warm: {warm_list_page:.2f}s", file=sys.stderr)
 
+    steady = steady_state_incremental(spark, sf_dir)
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -215,26 +327,34 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         ups, n_urls = crawl_throughput(spark, tmp)
-    print(f"# crawl: {n_urls} urls @ {ups:.0f}/s", file=sys.stderr)
-
-    cpu_ctl = cpu_state_control()
-    print(f"# cpu state control (fixed numpy pass): {cpu_ctl}", file=sys.stderr)
+    crawl_ctl = cpu_state_control()
+    print(f"# crawl: {n_urls} urls @ {ups:.0f}/s (control after: {crawl_ctl})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline query wall time at sf + frontier crawl throughput",
-                "value": round(total, 3),
+                "value": best["total_sec"],
                 "unit": "sec",
-                "queries": per_query,
+                "queries": best["queries"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "crawl_urls_per_sec": round(ups, 1),
                 "crawl_urls": n_urls,
+                "crawl_control": crawl_ctl,
                 "q_list_page_warm": warm_list_page,
                 "dedup_index_ingest_sec": ingest_sec,
+                "incremental_steady": steady,
                 "store_point_lookup_sec": round(lookup_sec, 3),
-                "cpu_state_control": cpu_ctl,
+                "box_state_ok": box_ok,
+                "accepted_run": accepted,
+                "sys_frac_max": SYS_FRAC_MAX,
+                "runs": [
+                    {"total_sec": r["total_sec"], "sys_frac": r["sys_frac"],
+                     "queries": r["queries"]}
+                    for r in runs
+                ],
+                "controls": controls,
                 "cpus": cpus,
             }
         )
