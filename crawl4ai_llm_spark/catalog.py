@@ -250,6 +250,20 @@ class Table:
         self._publish(snap)
         return snap
 
+    def truncate(self, counters: dict[str, int] | None = None) -> Snapshot:
+        """Publish an empty snapshot — the rollback target for 'before any
+        data existed'. A kill during the FIRST wave that writes a table
+        leaves a snapshot no rollback() can rewind past (there is no
+        earlier snapshot id); resume() truncates such tables instead, so a
+        re-run wave never double-appends."""
+        parent = self.current_snapshot()
+        snap = Snapshot(
+            self._next_id(parent), [], counters or {},
+            parent.snapshot_id if parent else None,
+        )
+        self._publish(snap)
+        return snap
+
     def compact(self, target_partitions: int = 8, counters: dict[str, int] | None = None) -> Snapshot | None:
         """Rewrite the live file set into ``target_partitions`` files — the
         maintenance commit a long crawl runs every K waves (append-only

@@ -125,6 +125,20 @@ class CrawlConfig:
     # rewrite the append-only tables every K waves (0 = never) — bounds
     # reader footer-scan cost on long crawls
     compact_every: int = 0
+    # content near-dup detection wired INTO the crawl loop (VERDICT r04
+    # #3): each wave's fetched documents are matched against a crawl-owned
+    # persisted DedupIndex (MinHash band keys over the concatenated text
+    # spans) BEFORE being ingested into it — the same backward-only
+    # semantics as streaming/dedup_stream.py. Matched pairs land in the
+    # ``content_dups`` table tagged with the wave; policy "flag" commits
+    # duplicate docs anyway (audit trail), "skip" drops them from the docs
+    # table AND the index (the store's reject_near_dups skip mode, ref D1
+    # json_storage.py:195-197 generalized to content). The index commits
+    # inside the wave's checkpointed cycle, so kill/resume rewinds it with
+    # every other table and a re-run wave re-ingests exactly once.
+    content_dedup: bool = False
+    content_dedup_tau: float = 0.5
+    content_dedup_policy: str = "flag"  # "flag" | "skip"
     graph: wg.GraphSpec = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -153,6 +167,11 @@ class FrontierEngine:
         # partitioned-transport Bloom state (bucket, bloom) — snapshot-
         # committed per wave, so resume() rewinds it with the other tables
         self.blooms_table = self.catalog.table("seen_blooms")
+        # content-dedup audit table: (wave, new_id, orig_id, jaccard) per
+        # detected near-duplicate — the per-wave counters the config's
+        # content_dedup mode surfaces
+        self.dup_pairs = self.catalog.table("content_dups")
+        self._dedup_index = None  # lazy — only built when content_dedup is on
         self._robots_df: DataFrame | None = None
         # incremental per-bucket Bloom bitmaps (C3): OR-ing per-wave deltas
         # is equivalent to rebuilding from the seen table (bitmap union is
@@ -165,6 +184,32 @@ class FrontierEngine:
         self.transport_log: list[str] = []
 
     # ------------------------------------------------------------------ setup
+
+    def dedup_index(self):
+        """The crawl-owned persisted content-dedup index — band-key tables
+        under the same warehouse, snapshot-committed per wave."""
+        if self._dedup_index is None:
+            import os
+
+            from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
+
+            self._dedup_index = DedupIndex(
+                self.spark, os.path.join(self.catalog.warehouse, "content_index")
+            )
+        return self._dedup_index
+
+    @staticmethod
+    def _spans_text(spans_col) -> F.Column:
+        """Document text = the text spans concatenated in span order — the
+        column the content-dedup index shingles. JVM-side (interpreted HOF,
+        but ≤ ~12 spans/page; the Arrow shingle pass downstream dominates)."""
+        return F.array_join(
+            F.transform(
+                F.filter(spans_col, lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            " ",
+        )
 
     def robots_df(self) -> DataFrame:
         """Tiny host→rules dimension — always broadcast (C7)."""
@@ -532,13 +577,60 @@ class FrontierEngine:
         new_links.count()  # materialize the discovery cache once, full width
         mark("new_links_count")
 
+        # --- content near-dup match (backward-only: wave docs vs the index
+        # as of wave-1 — ingest happens in the commit phase below) ---
+        pairs = None
+        n_dups = 0
+        dup_caches: list = []
+        wave_docs = None
+        if cfg.content_dedup:
+            idx = self.dedup_index()
+            wave_docs = results.where(F.col("ok")).select(
+                F.col("url").alias("doc_id"), self._spans_text(F.col("spans")).alias("text")
+            )
+            stored = self.docs.read()
+            if stored is not None and not idx.minhash_bands.is_empty():
+                stored_text = stored.select(
+                    "doc_id", self._spans_text(F.col("spans")).alias("text")
+                )
+                pairs = idx.match_documents(
+                    wave_docs, stored_text, tau=cfg.content_dedup_tau, caches=dup_caches
+                ).cache()
+                dup_caches.append(pairs)
+                n_dups = pairs.count()
+            mark("content_dedup_match")
+
         from concurrent.futures import ThreadPoolExecutor
 
         def commit_docs():
+            out = results.where(F.col("ok"))
+            if pairs is not None and n_dups and cfg.content_dedup_policy == "skip":
+                out = out.join(
+                    pairs.select(F.col("new_id").alias("url")).distinct(), "url", "left_anti"
+                )
             self.docs.append(
-                results.where(F.col("ok")).select(F.col("url").alias("doc_id"), "spans").coalesce(k),
+                out.select(F.col("url").alias("doc_id"), "spans").coalesce(k),
                 counters=wave_tag,
             )
+
+        def commit_content_dedup():
+            if not cfg.content_dedup:
+                return
+            if pairs is not None and n_dups:
+                self.dup_pairs.append(
+                    pairs.select(
+                        F.lit(wave).alias("wave"), "new_id", "orig_id", "jaccard"
+                    ).coalesce(1),
+                    counters=wave_tag,
+                )
+            ingest = wave_docs
+            if pairs is not None and n_dups and cfg.content_dedup_policy == "skip":
+                ingest = wave_docs.join(
+                    pairs.select(F.col("new_id").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            self.dedup_index().ingest_documents(ingest, counters=wave_tag)
 
         def commit_seen():
             self.seen.append(
@@ -578,7 +670,7 @@ class FrontierEngine:
                     new_links, self._cuckoo, cfg.bloom_buckets
                 )
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futures = [
                 pool.submit(fn)
                 for fn in (
@@ -587,6 +679,7 @@ class FrontierEngine:
                     commit_schedule,
                     commit_frontier,
                     update_seen_filter,
+                    commit_content_dedup,
                 )
             ]
             for f in futures:
@@ -601,10 +694,14 @@ class FrontierEngine:
             print(f"# wave {wave} timing: {marks}", flush=True)
 
         stats = {"scheduled": n_scheduled, "fetched": n_fetched}
+        if cfg.content_dedup:
+            stats["content_dups"] = n_dups
         scheduled.unpersist()
         with_r1.unpersist()
         results.unpersist()
         new_links.unpersist()
+        for c in dup_caches:  # per-wave plans are unique — CacheManager
+            c.unpersist()  # never reclaims them (r04 leak discipline)
         if probe_cache is not None:
             probe_cache.unpersist()
         if bloom_bc is not None:
@@ -705,10 +802,17 @@ class FrontierEngine:
         """Roll every table back to the last fully-committed wave (the
         checkpoint table's HEAD tag). Tables whose HEAD carries a NEWER wave
         tag were written by a killed, uncommitted wave — rewind them."""
+        # content-dedup tables (when enabled) rewind with everything else —
+        # a torn wave's index ingest / pair append must not survive, or the
+        # re-run wave would double-ingest its band keys
+        dedup_tables = []
+        if self.config.content_dedup:
+            idx = self.dedup_index()
+            dedup_tables = [self.dup_pairs, idx.minhash_bands, idx.sign_bands]
         # a kill between a manifest tmp-write and its atomic rename leaves
         # orphaned *.tmp-* files; resume is single-writer, so sweep them here
         for tbl in (self.checkpoints, self.docs, self.seen, self.schedule,
-                    self.frontier, self.blooms_table):
+                    self.frontier, self.blooms_table, *dedup_tables):
             tbl.clean_stale_tmp()
         committed = self.last_committed_wave()
         self._blooms = None  # rebuild from the (possibly rolled-back) seen table
@@ -719,7 +823,8 @@ class FrontierEngine:
         # NEWER than the committed wave would only over-include (false
         # positives, exact-verified anyway), but rolling it back keeps the
         # filter exactly in sync with the seen table
-        for tbl in (self.docs, self.seen, self.schedule, self.frontier, self.blooms_table):
+        for tbl in (self.docs, self.seen, self.schedule, self.frontier,
+                    self.blooms_table, *dedup_tables):
             snap = tbl.current_snapshot()
             if snap is None or int(snap.counters.get("wave", 0)) <= committed:
                 continue
@@ -727,6 +832,11 @@ class FrontierEngine:
                 if int(cand.counters.get("wave", 0)) <= committed:
                     tbl.rollback(cand.snapshot_id)
                     break
+            else:
+                # every snapshot postdates the checkpoint: the kill hit the
+                # table's FIRST-ever write — reset to empty (rollback cannot
+                # rewind past snapshot 1)
+                tbl.truncate(counters={"wave": committed})
         return committed
 
     def compact_tables(

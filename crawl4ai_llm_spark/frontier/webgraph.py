@@ -39,6 +39,11 @@ class GraphSpec:
     same_host_bias: float = 0.8
     fail_rate: float = 0.05
     seed: str = "webgraph-42"
+    # content near-duplicate planting (crawl-loop dedup tests): when > 0,
+    # page p (p ≥ k, p % k == 0) emits the spans of page p−k on the same
+    # host plus ONE extra short text span — a near- (not exact-) duplicate.
+    # 0 (default) leaves every existing graph bit-identical.
+    near_dup_every: int = 0
 
     def host_pages(self, h: int) -> int:
         # zipf-ish: host 0 is hot, the rest uniform
@@ -130,7 +135,28 @@ _WORDS = [
 
 def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
     """Interleaved spans: alternating text and media, offsets strictly
-    ascending; text non-null iff kind == 'text' (FIXTURES.md §5)."""
+    ascending; text non-null iff kind == 'text' (FIXTURES.md §5).
+
+    With ``near_dup_every`` = k > 0, page p (p ≥ k, p % k == 0) is a
+    planted near-duplicate: the spans of page p−k on the same host plus
+    one appended 3-word text span (chains — p=2k copies p=k copies p=0 —
+    so a duplicate CLUSTER forms, not just pairs). Both the Spark engine
+    and the pure-Python oracle read this same function, so the planted
+    truth is shared by construction."""
+    k = spec.near_dup_every
+    h, p = parse_canonical(canon_url)
+    if k and p >= k and p % k == 0:
+        src = page_spans(spec, canonical_page_url(h, p - k))
+        spans = [dict(s) for s in src]
+        ws = iter(_stream_words(spec, "dupextra|" + canon_url, 4))
+        txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(3))
+        if spans:
+            last = spans[-1]
+            off = last["offset"] + (len(last["text"]) + 1 if last["kind"] == "text" else 32)
+        else:
+            off = 0
+        spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": off})
+        return spans
     n_spans = 1 + _rand_int(spec, 8, "nspans", canon_url)
     # one md5 counter stream feeds every decision for this page
     ws = iter(_stream_words(spec, "spans|" + canon_url, 16 * n_spans))

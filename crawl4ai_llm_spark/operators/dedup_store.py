@@ -102,7 +102,9 @@ class DedupIndex:
         )
         bd = dedup.band_rows(dedup.minhash_signatures(sh))
         snap = self.minhash_bands.current_snapshot()
-        if snap is not None:
+        # a truncated (rolled-back-to-empty) table has a snapshot but no
+        # files and no scheme counter — it is a fresh table, not a mismatch
+        if snap is not None and snap.files:
             _require_scheme(self.minhash_bands, "sig_scheme", SIG_SCHEME, "minhash_bands")
         prev = int(snap.counters.get("n_docs", 0)) if snap else 0
         n = docs.count()
@@ -121,7 +123,7 @@ class DedupIndex:
 
         bk = dedup.sign_band_rows(_widen(vecs, self.spark), "vec_id")
         snap = self.sign_bands.current_snapshot()
-        if snap is not None:
+        if snap is not None and snap.files:
             _require_scheme(self.sign_bands, "sign_scheme", SIGN_SCHEME, "sign_bands")
         prev = int(snap.counters.get("n_vecs", 0)) if snap else 0
         n = vecs.count()

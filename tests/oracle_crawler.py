@@ -44,6 +44,7 @@ class OracleResult:
     host_order: dict[tuple[str, int], list[str]] = field(default_factory=dict)
     spans: dict[str, list[dict]] = field(default_factory=dict)
     fetched: set[str] = field(default_factory=set)
+    fetch_wave_of: dict[str, int] = field(default_factory=dict)  # wave of the OK fetch
     dead: set[str] = field(default_factory=set)
     n_waves: int = 0
 
@@ -94,6 +95,7 @@ def simulate(
             res.wave_of.setdefault(u, wave)
             if wg.fetch_ok(spec, u, attempt):
                 res.fetched.add(u)
+                res.fetch_wave_of[u] = wave
                 res.spans[u] = wg.page_spans(spec, u)
                 if depth + 1 <= max_depth:
                     for raw in wg.out_links(spec, u):
