@@ -116,6 +116,17 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 # table (4×8/8×8/8×6/16×4) is in BENCH.md; IVF stays the recall tier.
 ANN_BANDS = 8
 ANN_BAND_BITS = 8
+# multi-probe (VERDICT r04 #5): besides the 8 exact band keys, the QUERY
+# side also probes 18 one-bit-flipped keys — the flips chosen at the
+# globally smallest hyperplane margins |v[dim]| (the coordinates most
+# likely to have landed on the wrong side of their sign hyperplane for a
+# true neighbor; classic multi-probe LSH). Measured on the worst-case
+# uniform corpus (tools/bench_ann_recall.py sweep, BENCH.md): recall@3
+# 0.117 → 0.317 at 9.9% of the corpus as candidates (16 flips → 0.283 @
+# 9.1%, 20 → 0.350 @ 10.7%; 18 is the last point under the 10% budget).
+# The corpus side stays EXACT keys only: the expansion is per-query, so
+# the index never grows.
+ANN_PROBE_FLIPS = 18
 
 
 def q_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
@@ -145,6 +156,111 @@ def q_ann_multiband(spark: SparkSession, sf: str) -> DataFrame:
     )
     cand = (
         F.broadcast(qk)
+        .join(bk, ["band", "key"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = emb.where(F.col("vec_id") < LSH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = vx.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", cos.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LSH_TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("sim"), 6).alias("cos_sim"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+_probe_udfs: dict = {}
+
+
+def multi_probe_keys(
+    vec_col,
+    n_bands: int = ANN_BANDS,
+    band_bits: int = ANN_BAND_BITS,
+    n_flips: int = ANN_PROBE_FLIPS,
+) -> "F.Column":
+    """array<struct<band int, key long>> of probe keys for a QUERY vector:
+    the ``n_bands`` exact sign-band keys plus ``n_flips`` one-bit-flipped
+    variants, flips chosen at the globally smallest margins |v[dim]| (ties
+    → lower dim; dims past the vector length are never flipped). Sign
+    semantics match sign_band_keys_fast exactly (NaN sets the bit; NaN
+    margins sort last, matching DuckDB's NaN-above-everything order)."""
+    key = (n_bands, band_bits, n_flips)
+    if key not in _probe_udfs:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        NB, BB, NF = n_bands, band_bits, n_flips
+        W = (np.uint64(1) << np.arange(BB, dtype=np.uint64))
+
+        def probes(vs):
+            out = []
+            for v in vs:
+                n = NB * BB
+                a = np.zeros(n, dtype=np.float64)
+                m = 0 if v is None else min(len(v), n)
+                if m:
+                    a[:m] = v[:m]
+                bits = ((a > 0) | np.isnan(a)).astype(np.uint64).reshape(NB, BB)
+                keys = (bits * W).sum(axis=1)  # uint64 per band
+                margins = np.abs(a)
+                margins[m:] = np.inf  # padded dims can never flip
+                order = np.argsort(margins, kind="stable")[:NF]
+                rows = [
+                    {"band": b, "key": int(np.int64(keys[b]))} for b in range(NB)
+                ]
+                for idx in order:
+                    b, j = int(idx) // BB, int(idx) % BB
+                    rows.append(
+                        {"band": b, "key": int(np.int64(keys[b] ^ (np.uint64(1) << np.uint64(j))))}
+                    )
+                out.append(rows)
+            return pd.Series(out, dtype=object)
+
+        _probe_udfs[key] = pandas_udf(probes, "array<struct<band:int,key:long>>")
+    return _probe_udfs[key](vec_col)
+
+
+def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (VERDICT r04 #5): q_ann_multiband's
+    band-key equi-join, with the query side expanded to its exact keys
+    PLUS the 16 lowest-margin one-bit flips (multi_probe_keys). Plan
+    shape is unchanged — the tiny probe table broadcasts against the
+    corpus's exact band rows, distinct, exact-cosine rank — so the
+    corpus-side cost is identical to multiband; only candidate mass grows
+    (~3% → ~9.4%), buying recall sub-linearly instead of by widening
+    bands into a scan (the 16×4 row of the r04 sweep hit 65% of the
+    corpus). The probed-candidate rule is the tier's semantics; the
+    DuckDB oracle encodes the same rule."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", vx.as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.cache()  # feeds band keys + both vector joins
+    from crawl4ai_llm_spark.operators.dedup import sign_band_rows
+
+    bk = sign_band_rows(emb, "vec_id", n_bands=ANN_BANDS, band_bits=ANN_BAND_BITS)
+    qp = (
+        emb.where(F.col("vec_id") < LSH_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(multi_probe_keys(F.col("v"))).alias("p"),
+        )
+        .select("query_id", F.col("p.band").alias("band"), F.col("p.key").alias("key"))
+    )
+    cand = (
+        F.broadcast(qp)
         .join(bk, ["band", "key"])
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
@@ -339,8 +455,76 @@ _SQL_MULTIBAND = f"""
 """
 
 
+# DuckDB form of the multi-probe rule. Structure: band-key structs are
+# unnested into (vec_id, band, key) rows for the corpus; query probes are
+# the exact keys UNION ALL the 1-bit flips at the 16 smallest margins
+# (ORDER BY margin, dim — numpy's stable argsort tie rule); candidates
+# join on (band, key); exact cosine rank. abs(v[dim+1]) is the raw stored
+# value, so the margin comparison is bit-identical to the numpy path;
+# dims past the vector end read NULL → infinity (never flipped).
+_KEY_STRUCTS = ", ".join(
+    f"{{'band': {b}, 'key': k{b}}}" for b in range(ANN_BANDS)
+)
+
+_SQL_MULTIPROBE = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, v,
+               {_MB_KEYS},
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(generate_series(1, len(v)), i -> v[i] * v[i])),
+                    (acc, x) -> acc + x)) AS nrm
+        FROM e
+    ), ck AS (
+        SELECT vec_id, u.band AS band, u.key AS key FROM (
+            SELECT vec_id, unnest([{_KEY_STRUCTS}]) AS u FROM n
+        )
+    ), qm AS (
+        SELECT vec_id AS query_id, t.g AS dim,
+               COALESCE(ABS(v[t.g + 1]), CAST('infinity' AS DOUBLE)) AS margin
+        FROM n, generate_series(0, {ANN_BANDS * ANN_BAND_BITS - 1}) AS t(g)
+        WHERE vec_id < {LSH_QUERIES}
+    ), flips AS (
+        SELECT query_id, dim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY margin ASC, dim ASC) AS r
+        FROM qm
+    ), qprobe AS (
+        SELECT vec_id AS query_id, band, key
+        FROM ck WHERE vec_id < {LSH_QUERIES}
+        UNION ALL
+        SELECT f.query_id, f.dim // {ANN_BAND_BITS} AS band,
+               xor(c.key, 1 << (f.dim % {ANN_BAND_BITS})) AS key
+        FROM flips f
+        JOIN ck c ON c.vec_id = f.query_id AND c.band = f.dim // {ANN_BAND_BITS}
+        WHERE f.r <= {ANN_PROBE_FLIPS}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id
+        FROM qprobe p JOIN ck c ON c.band = p.band AND c.key = p.key
+        WHERE c.vec_id <> p.query_id
+    ), scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(generate_series(1, len(qn.v)),
+                                  i -> qn.v[i] * cn.v[i])),
+                   (acc, x) -> acc + x) / (qn.nrm * cn.nrm) AS sim
+        FROM cand
+        JOIN n qn ON qn.vec_id = cand.query_id
+        JOIN n cn ON cn.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {LSH_TOP_K}
+"""
+
+
 ORACLES: dict[str, str] = {
     "q_ann_multiband": _SQL_MULTIBAND.format(dot=_SQL_DOT),
+    "q_ann_multiprobe": _SQL_MULTIPROBE,
     "q_ann_topk": _SQL_NORMED
     + f"""
     , scored AS (
@@ -390,4 +574,5 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh_bucketed": q_ann_lsh_bucketed,
     "q_ann_multiband": q_ann_multiband,
+    "q_ann_multiprobe": q_ann_multiprobe,
 }

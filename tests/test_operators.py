@@ -321,6 +321,38 @@ def test_connected_components_distributed_pointer_doubling(spark):
     assert labels.where(F.col("cluster_id") != 0).count() == 0
 
 
+def test_multiprobe_expansion_shape_and_superset(spark, sf_dir):
+    """multi_probe_keys must emit exactly 8 exact + 18 flipped keys per
+    query, every flip differing from its band's exact key by ONE bit —
+    and the multiprobe result set must therefore rank at least as many
+    candidates as multiband (probe keys ⊇ exact keys)."""
+    from crawl4ai_llm_spark.operators import similarity as sim
+
+    emb = sim.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.vx.as_double(F.col("embedding")).alias("v")
+    ).where(F.col("vec_id") < 5)
+    rows = emb.select(
+        "vec_id", sim.multi_probe_keys(F.col("v")).alias("probes")
+    ).collect()
+    for r in rows:
+        probes = [(p["band"], p["key"]) for p in r["probes"]]
+        assert len(probes) == sim.ANN_BANDS + sim.ANN_PROBE_FLIPS
+        exact = dict(probes[: sim.ANN_BANDS])
+        assert len(exact) == sim.ANN_BANDS  # one exact key per band
+        for b, k in probes[sim.ANN_BANDS :]:
+            diff = exact[b] ^ k
+            assert diff != 0 and (diff & (diff - 1)) == 0  # exactly 1 bit
+    # candidate superset: every multiband top-3 (query, vec) pair's source
+    # candidate set is contained in multiprobe's, so multiprobe's ranked
+    # sims at each rank are >= multiband's
+    mb = {(r["query_id"], r["rn"]): r["cos_sim"]
+          for r in sim.q_ann_multiband(spark, sf_dir).collect()}
+    mp = {(r["query_id"], r["rn"]): r["cos_sim"]
+          for r in sim.q_ann_multiprobe(spark, sf_dir).collect()}
+    for key, v in mb.items():
+        assert key in mp and mp[key] >= v - 1e-9
+
+
 def test_connected_components_hybrid_driver_finish(spark):
     """The hybrid tier (VERDICT r04 #4): with a threshold between the
     condensed size after one round and the raw edge count, the loop must
