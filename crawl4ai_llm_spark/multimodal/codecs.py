@@ -1,12 +1,14 @@
-"""Pure-stdlib image codecs: PNG (zlib), PPM (P6), BMP (24-bit).
+"""Pure-stdlib image codecs: PNG (zlib), PPM (P6), BMP (24-bit) — plus
+baseline JPEG in the sibling ``jpeg`` module (round 5).
 
-The sandbox has no PIL/libjpeg/libav, but these three formats need nothing
-beyond ``zlib`` + ``numpy`` — so the engine's image-decode operator is REAL
-for them (round 4; previously every codec was stubbed). The implementations
-follow the public format specifications (PNG: RFC 2083 chunk layout +
-filter reconstruction; BMP: BITMAPINFOHEADER; PPM: netpbm P6) and are
-round-trip tested against hand-built pixel arrays for every PNG filter
-type. JPEG/video stay honestly gated on PIL/libav.
+The sandbox has no PIL/libjpeg/libav, but these formats need nothing
+beyond ``zlib`` + ``numpy`` — so the engine's image-decode operator is
+REAL for them (PNG/PPM/BMP since round 4, JPEG since round 5). The
+implementations follow the public format specifications (PNG: RFC 2083
+chunk layout + filter reconstruction; BMP: BITMAPINFOHEADER; PPM: netpbm
+P6; JPEG: ITU-T T.81 baseline) and are round-trip tested against
+hand-built pixel arrays for every PNG filter type and every JPEG mode.
+Video stays honestly gated on libav.
 
 Scale note: these decoders run inside Arrow-batched ``mapInPandas`` — one
 Python call per asset. Cost model per PNG filter type: None/Up/Sub rows
@@ -261,9 +263,10 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_any(payload: bytes) -> tuple[str, np.ndarray] | None:
-    """Sniff + decode. Returns (format, (h, w, ch) uint8) for the stdlib
-    formats, None for unknown/unsupported payloads (the caller decides
-    whether to PIL-fall-back, null out, or raise)."""
+    """Sniff + decode. Returns (format, (h, w, ch) uint8) for the
+    pure-Python formats — PNG/PPM/BMP plus baseline JPEG (jpeg.py, r05) —
+    None for unknown/unsupported payloads (the caller decides whether to
+    PIL-fall-back, null out, or raise)."""
     kind = sniff(payload)
     try:
         if kind == "png":
@@ -272,6 +275,10 @@ def decode_any(payload: bytes) -> tuple[str, np.ndarray] | None:
             return "ppm", decode_ppm(payload)
         if kind == "bmp":
             return "bmp", decode_bmp(payload)
+        if kind == "jpeg":
+            from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg
+
+            return "jpeg", decode_jpeg(payload)
     except (ValueError, zlib.error, struct.error, IndexError):
         return None  # corrupt container: per-row tolerance, never job-fatal
     return None
