@@ -109,16 +109,28 @@ def main() -> None:
     0.86."""
     quick = "--quick" in sys.argv
     transport = "partitioned" if "--transport=partitioned" in sys.argv else "broadcast"
+    # box-state controls bracket each level (same discipline as bench.py —
+    # the r05 0.754 broadcast run that looked like a regression measured
+    # sys_frac 0.76 right after: a sick box, not the engine)
+    from bench import cpu_state_control
+
+    ctl0 = cpu_state_control()
+    print("control (pre local[4]):", ctl0, flush=True)
     r8 = run_level(4, quick, transport)
     print("local[4]: ", r8, flush=True)
     if not quick:
         import time
 
         time.sleep(90)  # let clocks/thermals settle between levels
+    ctl1 = cpu_state_control()
+    print("control (pre local[16]):", ctl1, flush=True)
     r32 = run_level(16, quick, transport)
     print("local[16]:", r32)
+    ctl2 = cpu_state_control()
+    print("control (post):", ctl2, flush=True)
     eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
-    print(f"scaling efficiency N→4N: {eff:.3f}")
+    worst_sys = max(c["allcore_sys_frac"] for c in (ctl0, ctl1, ctl2))
+    print(f"scaling efficiency N→4N: {eff:.3f} (worst control sys_frac {worst_sys})")
 
     waves8 = ", ".join(f"w{w['wave']}:{w['scheduled']}@{w['seconds']}s" for w in r8.get("waves", []))
     waves32 = ", ".join(f"w{w['wave']}:{w['scheduled']}@{w['seconds']}s" for w in r32.get("waves", []))
@@ -145,8 +157,12 @@ evidence ≥0.8 there — while 4→16 keeps both levels at full clocks
 per-wave (local[4]):  {waves8}
 per-wave (local[16]): {waves32}
 
+box-state controls (fixed numpy pass; sys_frac near 1 = kernel-time
+pathology, run invalid): pre-N {ctl0}, pre-4N {ctl1}, post {ctl2}.
+
 **Scaling efficiency N→4N = {r32['urls_per_sec']:,.0f} / (4 × {r8['urls_per_sec']:,.0f}) = {eff:.2f}**
-(north-rule threshold: ≥ 0.8).
+(north-rule threshold: ≥ 0.8; controls above certify the box state this
+number was measured under).
 """
     if quick:
         # quick mode is a smoke test of the harness — its tiny waves are
