@@ -124,6 +124,18 @@ CHECKS = {
             (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
         ],
     },
+    "q_ann_multiprobe": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.similarity", fromlist=["q"]
+        ).q_ann_multiprobe(spark, SF),
+        "expect": [
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "probed candidates from a band-key equi-join (query side expanded, corpus side exact keys)"),
+        ],
+        "forbid": [
+            (r"BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"CartesianProduct", "no cartesian (probe expansion is per-query rows, not a cross join)"),
+        ],
+    },
     # the pair generator q_dedup_clusters actually executes (the cluster
     # assignment itself materializes via count/collect, so its own plan is
     # a LocalTableScan — the pair SOURCE is where the scale risk lives)
