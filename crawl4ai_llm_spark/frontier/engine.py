@@ -136,6 +136,12 @@ class CrawlConfig:
     # json_storage.py:195-197 generalized to content). The index commits
     # inside the wave's checkpointed cycle, so kill/resume rewinds it with
     # every other table and a re-run wave re-ingests exactly once.
+    # Known corner: evict_from_seen + organic re-crawl re-ingests that
+    # URL's band keys (the docs table gains a second row too — the
+    # pre-existing recrawl semantics); candidates stay correct (the match
+    # deduplicates) but the index grows one stale copy per recrawl — a
+    # recrawl-heavy deployment should mark_stale + rebuild, as the
+    # store's divergence path does.
     content_dedup: bool = False
     content_dedup_tau: float = 0.5
     content_dedup_policy: str = "flag"  # "flag" | "skip"
@@ -863,6 +869,16 @@ class FrontierEngine:
             tbl.compact(k, counters=wave_tag)
             if expire_keep_last:
                 tbl.expire_snapshots(expire_keep_last)
+        if self.config.content_dedup:
+            # the per-wave index appends accumulate files like every other
+            # table; DedupIndex.compact preserves its own counters (n_docs,
+            # sig_scheme + the last ingest's wave tag, which between waves
+            # IS the committed wave — resume-safe)
+            self.dedup_index().compact(k, expire_keep_last=expire_keep_last)
+            if not self.dup_pairs.is_empty():
+                self.dup_pairs.compact(k, counters=wave_tag)
+                if expire_keep_last:
+                    self.dup_pairs.expire_snapshots(expire_keep_last)
 
     def run(self, seeds: list[str] | None = None, max_waves: int | None = None) -> int:
         """Crawl to frontier exhaustion (or the wave cap). Returns the number

@@ -205,6 +205,23 @@ def test_crawl_dedup_kill_resume(spark, tmp_path, flag_run, oracle):
     assert int(idx2.minhash_bands.current_snapshot().counters["n_docs"]) == len(oracle.fetched)
 
 
+def test_crawl_dedup_with_compaction_matches(spark, tmp_path, flag_run):
+    """compact_every now also compacts the dedup index + pair table; a
+    compacted crawl must produce the identical pair set."""
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"),
+        CrawlConfig(**CFG, graph=SPEC, content_dedup=True, content_dedup_tau=TAU,
+                    compact_every=2),
+    )
+    eng.run(seeds=SEEDS)
+    got = {(r["new_id"], r["orig_id"]) for r in eng.dup_pairs.read().collect()}
+    want = {(r["new_id"], r["orig_id"]) for r in flag_run.dup_pairs.read().collect()}
+    assert got == want
+    # compaction bounded the index file count
+    snap = eng.dedup_index().minhash_bands.current_snapshot()
+    assert len(snap.files) <= spark.sparkContext.defaultParallelism
+
+
 def test_resume_truncates_first_wave_torn_table(spark, tmp_path):
     """Kill during the FIRST wave that ever writes a table: no snapshot
     predates the torn one, so rollback can't rewind — resume must
