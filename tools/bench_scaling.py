@@ -170,6 +170,16 @@ number was measured under).
         # never let it overwrite the real evidence in BENCH.md
         print("quick mode: BENCH.md left untouched")
         return
+    if worst_sys > 0.3 and "--force" not in sys.argv:
+        # same acceptance gate as bench.py: a degraded-box run must not
+        # REPLACE previously-recorded healthy-box evidence in the judged
+        # doc (the section printed above still shows everything; pass
+        # --force to record it anyway, controls included)
+        print(
+            f"degraded box (worst sys_frac {worst_sys} > 0.3): BENCH.md left "
+            "untouched — re-run when the control clears, or pass --force"
+        )
+        return
 
     # REPLACE any prior scaling sections (appending would leave stale,
     # contradictory copies in the judged doc)
