@@ -146,16 +146,21 @@ def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
     k = spec.near_dup_every
     h, p = parse_canonical(canon_url)
     if k and p >= k and p % k == 0:
-        src = page_spans(spec, canonical_page_url(h, p - k))
-        spans = [dict(s) for s in src]
-        ws = iter(_stream_words(spec, "dupextra|" + canon_url, 4))
-        txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(3))
-        if spans:
-            last = spans[-1]
-            off = last["offset"] + (len(last["text"]) + 1 if last["kind"] == "text" else 32)
-        else:
-            off = 0
-        spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": off})
+        # iterative chain walk (recursion blows the stack on big graphs:
+        # host 0 of the bench spec holds 21k pages → chain depth ~2,600):
+        # every multiple of k shares page 0's spans plus one extra span
+        # per chain ancestor, appended in ascending order — identical
+        # output to the recursive formulation
+        spans = [dict(s) for s in page_spans(spec, canonical_page_url(h, 0))]
+        for m in range(k, p + 1, k):
+            ws = iter(_stream_words(spec, "dupextra|" + canonical_page_url(h, m), 4))
+            txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(3))
+            if spans:
+                last = spans[-1]
+                off = last["offset"] + (len(last["text"]) + 1 if last["kind"] == "text" else 32)
+            else:
+                off = 0
+            spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": off})
         return spans
     n_spans = 1 + _rand_int(spec, 8, "nspans", canon_url)
     # one md5 counter stream feeds every decision for this page
