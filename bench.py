@@ -17,10 +17,28 @@ it cannot diverge. "box_state_ok" is false when even the best pass ran at
 sys_frac >= $SPARK_GRAFT_SYS_FRAC_MAX (default 0.3) — read such a
 recording as box evidence, not code evidence.
 
-Output: {"metric": ..., "value": <accepted-run total seconds>,
-         "unit": "sec", "queries": {...accepted-run per-query seconds...},
-         "sf": ..., "crawl_urls_per_sec": ..., "runs": [...all passes...],
-         "box_state_ok": bool, "cpus": ...}
+Output contract (VERDICT r05 #1 — the artifact must be the single,
+driver-parseable source):
+- The FINAL stdout line is a COMPACT headline JSON (accepted run's
+  total + per-query seconds, crawl throughput with its in-run sys
+  share, steady-state + storage numbers, a one-line control summary) —
+  small enough for the driver's tail capture, so BENCH_r{N}.json's
+  `parsed` is never null again.
+- The full evidence (every pass, every control, both bracket and
+  in-run sys fractions) goes to the sidecar `BENCH_detail_latest.json`
+  next to this file.
+- The same headline JSON is mirrored verbatim into BENCH.md's
+  auto-written section (between `bench-autorow` markers), so the
+  narrative's quoted numbers are byte-identical to the artifact by
+  construction — they are written by the same invocation.
+
+Box-state acceptance (VERDICT r05 #2): every measured section — each
+suite pass AND the crawl — is stamped with its IN-RUN system-time share
+(continuous /proc/stat delta across the section's whole wall), the
+measurement the r05 scaling gate already used; instant bracket controls
+remain as corroboration in the sidecar. In-run is what accepts a pass:
+instant controls were measured to miss mid-run degradation windows in
+both directions (BENCH.md r04/r05 analysis).
 
 Scaling evidence (north rule: N->4N efficiency >= 0.8) is produced by
 tools/bench_scaling.py, which runs the same crawl at local[8] and
@@ -70,6 +88,31 @@ HEADLINE = [
 
 SYS_FRAC_MAX = float(os.environ.get("SPARK_GRAFT_SYS_FRAC_MAX", "0.3"))
 SYS_FRAC_HEALTHY = 0.15  # a pass this clean ends the retry loop early
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(user+nice, system) jiffies across all cpus — /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[1]) + int(parts[2]), int(parts[3])
+
+
+class InRunSys:
+    """IN-RUN box-state measurement: system-time share of all cpu work
+    done during a measured section's entire wall (the r05 scaling gate's
+    method, promoted here per VERDICT r05 #2 — instant controls
+    bracketing a section miss mid-run degradation windows)."""
+
+    def __enter__(self):
+        self.u0, self.s0 = _cpu_jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        u1, s1 = _cpu_jiffies()
+        du, ds = u1 - self.u0, s1 - self.s0
+        self.sys_frac = round(ds / max(1, du + ds), 3)
+        return False
 
 
 def cpu_state_control() -> dict:
@@ -281,22 +324,26 @@ def main() -> None:
     print(f"# cpu control (pre run 1): {controls[0]}", file=sys.stderr)
     runs: list[dict] = []
     for i in range(max_runs):
-        per_query, total = run_suite(spark, sf_dir)
+        with InRunSys() as mruns:
+            per_query, total = run_suite(spark, sf_dir)
         controls.append(cpu_state_control())
         print(f"# cpu control (post run {i + 1}): {controls[-1]}", file=sys.stderr)
-        sys_frac = max(
-            controls[i]["allcore_sys_frac"], controls[i + 1]["allcore_sys_frac"]
-        )
+        # acceptance rides the IN-RUN share (the section's own wall);
+        # bracket controls are corroboration recorded in the sidecar
+        sys_frac = mruns.sys_frac
         runs.append(
             {
                 "total_sec": total,
                 "queries": per_query,
                 "sys_frac": sys_frac,
+                "bracket_sys_frac": max(
+                    controls[i]["allcore_sys_frac"], controls[i + 1]["allcore_sys_frac"]
+                ),
                 "control_before": controls[i],
                 "control_after": controls[i + 1],
             }
         )
-        print(f"# run {i + 1}/{max_runs}: {total}s @ sys_frac {sys_frac}", file=sys.stderr)
+        print(f"# run {i + 1}/{max_runs}: {total}s @ in-run sys_frac {sys_frac}", file=sys.stderr)
         if sys_frac <= SYS_FRAC_HEALTHY:
             break  # clean box, number trustworthy — skip the remaining passes
     accepted = min(range(len(runs)), key=lambda i: (runs[i]["sys_frac"], runs[i]["total_sec"]))
@@ -326,40 +373,108 @@ def main() -> None:
     print(f"# store point lookup (200k rows, bucketed): {lookup_sec:.3f}s", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as tmp:
-        ups, n_urls = crawl_throughput(spark, tmp)
+        with InRunSys() as mcrawl:
+            ups, n_urls = crawl_throughput(spark, tmp)
     crawl_ctl = cpu_state_control()
-    print(f"# crawl: {n_urls} urls @ {ups:.0f}/s (control after: {crawl_ctl})", file=sys.stderr)
+    print(
+        f"# crawl: {n_urls} urls @ {ups:.0f}/s (in-run sys_frac "
+        f"{mcrawl.sys_frac}; instant control after: {crawl_ctl})",
+        file=sys.stderr,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time at sf + frontier crawl throughput",
-                "value": best["total_sec"],
-                "unit": "sec",
-                "queries": best["queries"],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "crawl_urls_per_sec": round(ups, 1),
-                "crawl_urls": n_urls,
-                "crawl_control": crawl_ctl,
-                "q_list_page_warm": warm_list_page,
-                "dedup_index_ingest_sec": ingest_sec,
-                "incremental_steady": steady,
-                "store_point_lookup_sec": round(lookup_sec, 3),
-                "box_state_ok": box_ok,
-                "accepted_run": accepted,
-                "sys_frac_max": SYS_FRAC_MAX,
-                "runs": [
-                    {"total_sec": r["total_sec"], "sys_frac": r["sys_frac"],
-                     "queries": r["queries"]}
-                    for r in runs
-                ],
-                "controls": controls,
-                "cpus": cpus,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline query wall time at sf + frontier crawl throughput",
+        "value": best["total_sec"],
+        "unit": "sec",
+        "queries": best["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl_urls_per_sec": round(ups, 1),
+        "crawl_urls": n_urls,
+        "crawl_run_sys_frac": mcrawl.sys_frac,
+        "q_list_page_warm": warm_list_page,
+        "dedup_index_ingest_sec": ingest_sec,
+        "incremental_steady": steady,
+        "store_point_lookup_sec": round(lookup_sec, 3),
+        "box_state_ok": box_ok,
+        "accepted_run": accepted,
+        "accepted_sys_frac": best["sys_frac"],
+        "n_runs": len(runs),
+        "run_sys_fracs": [r["sys_frac"] for r in runs],
+        "sys_frac_max": SYS_FRAC_MAX,
+        "cpus": cpus,
+        "detail_file": "BENCH_detail_latest.json",
+    }
+    detail = {
+        "headline": headline,
+        "runs": runs,
+        "controls": controls,
+        "crawl_instant_control_after": crawl_ctl,
+    }
+    # sidecar + BENCH.md mirror: best-effort — the bench result must never
+    # die on a write (e.g. a read-only checkout)
+    try:
+        with open(os.path.join(REPO, "BENCH_detail_latest.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"# WARNING: sidecar write failed: {e}", file=sys.stderr)
+    try:
+        _mirror_to_bench_md(headline)
+    except OSError as e:  # pragma: no cover
+        print(f"# WARNING: BENCH.md mirror failed: {e}", file=sys.stderr)
+    # the compact headline is the FINAL stdout line — the driver's tail
+    # capture parses exactly this object into BENCH_r{N}.json "parsed"
+    print(json.dumps(headline))
     spark.stop()
+
+
+def _mirror_to_bench_md(headline: dict) -> None:
+    """Rewrite BENCH.md's auto-section with this invocation's headline —
+    verbatim JSON plus a small rendered table. Because the driver's
+    BENCH_r{N}.json and this section come from the SAME process output,
+    the narrative cannot quote numbers the artifact doesn't contain
+    (VERDICT r04/r05 finding #1, closed structurally)."""
+    start = "<!-- bench-autorow:start -->"
+    end = "<!-- bench-autorow:end -->"
+    path = os.path.join(REPO, "BENCH.md")
+    qtable = "\n".join(
+        f"| {name} | {sec} |" for name, sec in sorted(headline["queries"].items())
+    )
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+    section = f"""{start}
+## Latest bench.py run (written by bench.py itself — artifact mirror)
+
+Generated {stamp}. This block is byte-identical to the final stdout
+line of the same invocation (= the driver's `BENCH_r{{N}}.json`
+`parsed` object when the driver ran it); full passes + controls are in
+`BENCH_detail_latest.json`. Do not edit by hand.
+
+```json
+{json.dumps(headline, indent=1)}
+```
+
+Accepted run {headline["accepted_run"]} of {headline["n_runs"]}
+(in-run sys_frac {headline["accepted_sys_frac"]}, box_state_ok
+{headline["box_state_ok"]}): **{headline["value"]} s** suite total at
+sf{headline["sf"]}, crawl **{headline["crawl_urls_per_sec"]} urls/s**
+(in-run sys_frac {headline["crawl_run_sys_frac"]}), point lookup
+{headline["store_point_lookup_sec"]} s, steady-state incremental text
+{headline["incremental_steady"]["text_sec"]} s / embedding
+{headline["incremental_steady"]["emb_sec"]} s.
+
+| query | sec |
+|---|---|
+{qtable}
+{end}"""
+    md = open(path).read() if os.path.exists(path) else ""
+    if start in md and end in md:
+        pre, rest = md.split(start, 1)
+        _, post = rest.split(end, 1)
+        md = pre + section + post
+    else:
+        md = section + "\n\n" + md
+    with open(path, "w") as f:
+        f.write(md)
 
 
 if __name__ == "__main__":

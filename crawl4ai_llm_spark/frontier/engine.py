@@ -150,6 +150,14 @@ class CrawlConfig:
     def __post_init__(self):
         if self.graph is None:
             self.graph = wg.GraphSpec()
+        # A typo like "drop"/"reject" would otherwise silently behave as
+        # "flag" (the skip branch tests == "skip"), committing
+        # near-duplicates the caller meant to suppress (ADVICE r05).
+        if self.content_dedup_policy not in ("flag", "skip"):
+            raise ValueError(
+                "content_dedup_policy must be 'flag' or 'skip', got "
+                f"{self.content_dedup_policy!r}"
+            )
         if not self.use_bloom and self.seen_filter == "bloom":
             self.seen_filter = "exact"
 

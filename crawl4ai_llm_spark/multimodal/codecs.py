@@ -1,12 +1,12 @@
 """Pure-stdlib image codecs: PNG (zlib), PPM (P6), BMP (24-bit) — plus
-baseline JPEG in the sibling ``jpeg`` module (round 5).
+baseline + progressive JPEG in the sibling ``jpeg`` module (rounds 5-6).
 
 The sandbox has no PIL/libjpeg/libav, but these formats need nothing
 beyond ``zlib`` + ``numpy`` — so the engine's image-decode operator is
 REAL for them (PNG/PPM/BMP since round 4, JPEG since round 5). The
 implementations follow the public format specifications (PNG: RFC 2083
 chunk layout + filter reconstruction; BMP: BITMAPINFOHEADER; PPM: netpbm
-P6; JPEG: ITU-T T.81 baseline) and are round-trip tested against
+P6; JPEG: ITU-T T.81 baseline + progressive) and are round-trip tested against
 hand-built pixel arrays for every PNG filter type and every JPEG mode.
 Video stays honestly gated on libav.
 
@@ -264,7 +264,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 def decode_any(payload: bytes) -> tuple[str, np.ndarray] | None:
     """Sniff + decode. Returns (format, (h, w, ch) uint8) for the
-    pure-Python formats — PNG/PPM/BMP plus baseline JPEG (jpeg.py, r05) —
+    pure-Python formats — PNG/PPM/BMP plus baseline/progressive JPEG (jpeg.py, r05-r06) —
     None for unknown/unsupported payloads (the caller decides whether to
     PIL-fall-back, null out, or raise)."""
     kind = sniff(payload)

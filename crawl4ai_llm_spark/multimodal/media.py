@@ -4,11 +4,13 @@ Image/audio/video payloads are ``binary`` columns with a typed metadata
 struct; every transform runs as an Arrow-batched pandas function over
 ``mapInPandas`` — the schema, partitioning, UDF signatures, and batch
 shapes are real and tested. Codec status (round 5): image decode and
-resize are REAL for PNG/PPM/24-bit-BMP AND baseline JPEG via the
-pure-Python decoders in ``multimodal/codecs.py`` + ``multimodal/jpeg.py``
-(round-trip tested across every PNG filter type and JPEG 4:4:4 / 4:2:0 /
-restart modes); PIL, when present, remains a fallback for JPEG variants
-outside baseline (progressive); undecodable payloads degrade per-row
+resize are REAL for PNG/PPM/24-bit-BMP AND baseline + progressive
+JPEG via the pure-Python decoders in ``multimodal/codecs.py`` +
+``multimodal/jpeg.py`` (round-trip tested across every PNG filter type
+and JPEG 4:4:4 / 4:2:0 / restart / non-interleaved / progressive
+modes); PIL, when present, remains a fallback only for JPEG variants
+outside huffman-8-bit (arithmetic, 12-bit, hierarchical); undecodable
+payloads degrade per-row
 (null stats + null ``decoder`` tag), never job-fatally. Video frame
 extraction remains honestly stubbed on libav/ffmpeg (absent here), with
 ``fake=True`` substituting a deterministic stand-in so the distributed
@@ -111,8 +113,9 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
     REAL pure-Python decode for PNG (zlib inflate + filter
     reconstruction), PPM, 24-bit BMP (multimodal/codecs.py) and baseline
-    JPEG (multimodal/jpeg.py, round 5) — with PIL as a fallback for
-    non-baseline JPEG variants when present. Payloads that
+    + progressive JPEG (multimodal/jpeg.py, rounds 5-6) — with PIL as a
+    fallback for the remaining exotic JPEG variants (arithmetic, 12-bit)
+    when present. Payloads that
     no available decoder handles yield a row with ``decoder`` null and
     null stats: per-row tolerance, because at 10⁹ assets one corrupt
     payload must never kill the job (filter ``decoder IS NULL`` to

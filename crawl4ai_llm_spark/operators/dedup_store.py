@@ -45,7 +45,12 @@ COSINE_DUP_TAU = 0.9
 # index returned 0 candidates with no error). Bump on any change to the
 # signature arithmetic.
 SIG_SCHEME = 2  # 2 = pd.util.hash_array grams + 32×4 MinHash bands
-SIGN_SCHEME = 1  # 4×16-bit coordinate-sign bands
+# 2 = NaN coordinates set the sign bit (dedup.sign_band_keys_fast matches
+# the oracle's `v >= 0 is NULL → bit set` rule since r05, dedup.py NaN
+# parity fix); 1 = NaN treated as negative. Indexes persisted under
+# scheme 1 yield different keys for NaN coordinates — exactly the
+# silent-zero-candidates failure this guard exists to catch (ADVICE r05).
+SIGN_SCHEME = 2  # 4×16-bit coordinate-sign bands, NaN→sign-bit-set
 
 
 def _require_scheme(table: Table, key: str, want: int, what: str) -> None:

@@ -236,14 +236,15 @@ def multi_probe_keys(
 def q_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-probe sign-LSH ANN (VERDICT r04 #5): q_ann_multiband's
     band-key equi-join, with the query side expanded to its exact keys
-    PLUS the 16 lowest-margin one-bit flips (multi_probe_keys). Plan
-    shape is unchanged — the tiny probe table broadcasts against the
-    corpus's exact band rows, distinct, exact-cosine rank — so the
-    corpus-side cost is identical to multiband; only candidate mass grows
-    (~3% → ~9.4%), buying recall sub-linearly instead of by widening
-    bands into a scan (the 16×4 row of the r04 sweep hit 65% of the
-    corpus). The probed-candidate rule is the tier's semantics; the
-    DuckDB oracle encodes the same rule."""
+    PLUS the ANN_PROBE_FLIPS (=18) lowest-margin one-bit flips
+    (multi_probe_keys). Plan shape is unchanged — the tiny probe table
+    broadcasts against the corpus's exact band rows, distinct,
+    exact-cosine rank — so the corpus-side cost is identical to
+    multiband; only candidate mass grows (~3% → ~9.9% measured), buying
+    recall sub-linearly instead of by widening bands into a scan (the
+    16×4 row of the r04 sweep hit 65% of the corpus). The
+    probed-candidate rule is the tier's semantics; the DuckDB oracle
+    encodes the same rule with the same flip count."""
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
@@ -457,8 +458,10 @@ _SQL_MULTIBAND = f"""
 
 # DuckDB form of the multi-probe rule. Structure: band-key structs are
 # unnested into (vec_id, band, key) rows for the corpus; query probes are
-# the exact keys UNION ALL the 1-bit flips at the 16 smallest margins
-# (ORDER BY margin, dim — numpy's stable argsort tie rule); candidates
+# the exact keys UNION ALL the 1-bit flips at the ANN_PROBE_FLIPS
+# smallest margins (ORDER BY margin, dim — numpy's stable argsort tie
+# rule, interpolated into the SQL below so code and oracle cannot
+# disagree on the count); candidates
 # join on (band, key); exact cosine rank. abs(v[dim+1]) is the raw stored
 # value, so the margin comparison is bit-identical to the numpy path;
 # dims past the vector end read NULL → infinity (never flipped).

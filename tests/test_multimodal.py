@@ -217,3 +217,85 @@ def test_sample_frames_fake_explodes_videos(spark, docs_df):
     if n_videos:
         assert frames
         assert all(r["frame_ts_ms"] % 5000 == 0 for r in frames)
+
+
+def test_jpeg_progressive_decodes_bitidentical_to_baseline():
+    """Progressive JPEG (VERDICT r05 #6, pure numpy — no PIL): the SOF2
+    encoder splits the SAME quantized coefficients across a
+    libjpeg-style scan script (interleaved DC first+refine, per-component
+    AC spectral bands with EOB runs and ZRL, two AC refinement sweeps
+    with correction bits), so decoding the progressive stream must give
+    BIT-IDENTICAL pixels to decoding the baseline stream of the same
+    image/quality — the tolerance contract is inherited, not re-argued.
+    Covers 4:4:4, 4:2:0 (non-interleaved AC scans over a subsampled
+    component's own block grid — the ADVICE r05 geometry), grayscale,
+    restart intervals (EOB-run reset), and determinism."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import codecs
+    from crawl4ai_llm_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack(
+        [(yy * 255 / h), (xx * 255 / w), ((yy + xx) * 255 / (h + w))], axis=2
+    ).astype(np.uint8)
+    cases = [
+        ("444 q90", smooth, dict(quality=90)),
+        ("gray q90", smooth[:, :, :1], dict(quality=90)),
+        ("420 q90", smooth, dict(quality=90, subsample=True)),
+        ("444 rst2", smooth, dict(quality=90, restart_interval=2)),
+        ("420 rst3 odd", smooth[:37, :51], dict(quality=85, subsample=True, restart_interval=3)),
+    ]
+    for name, img, kw in cases:
+        prog = encode_jpeg_progressive(img, **kw)
+        base = encode_jpeg(img, **kw)
+        assert codecs.sniff(prog) == "jpeg", name
+        assert prog[:4] != base[:4] or prog != base  # distinct streams
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(base)), name
+        assert encode_jpeg_progressive(img, **kw) == prog, name
+    # decode_any routes progressive through the numpy decoder (no PIL)
+    kind, arr = codecs.decode_any(encode_jpeg_progressive(smooth, quality=90))
+    assert kind == "jpeg" and arr.shape == smooth.shape
+    # random noise: every scan kind under stress, still baseline-identical
+    rng = np.random.default_rng(5)
+    for i in range(8):
+        hh = int(rng.integers(1, 40))
+        ww = int(rng.integers(1, 40))
+        c = [1, 3][i % 2]
+        img = rng.integers(0, 256, (hh, ww, c), dtype=np.uint8)
+        sub = bool(i % 3 == 2) and c == 3
+        ri = [0, 0, 2, 5][i % 4]
+        prog = encode_jpeg_progressive(img, quality=75, subsample=sub, restart_interval=ri)
+        base = encode_jpeg(img, quality=75, subsample=sub, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(base)), i
+
+
+def test_jpeg_noninterleaved_baseline_scans():
+    """Baseline files with one SOS per component (ns < nc) use per-T.81
+    non-interleaved MCU geometry — one data unit per MCU over the
+    component's own ceil(comp/8) block grid, NOT the interleaved
+    hmax x vmax clump (ADVICE r05: previously mis-decoded; the multi-scan
+    decoder makes them correct). 4:2:0 covers the sampling-factor>1
+    single-component-scan case; pixels must match the interleaved
+    encoding exactly (same coefficients, same reconstruction)."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    for i in range(10):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 50))
+        c = [1, 3][i % 2]
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        sub = bool(i % 3 == 2) and c == 3
+        ri = [0, 0, 3][i % 3]
+        kw = dict(quality=80, subsample=sub, restart_interval=ri)
+        ni = decode_jpeg(encode_jpeg(img, interleave=False, **kw))
+        il = decode_jpeg(encode_jpeg(img, **kw))
+        assert np.array_equal(ni, il), (i, h, w, c, sub, ri)

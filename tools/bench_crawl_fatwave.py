@@ -1,0 +1,131 @@
+"""Content-dedup integration cost vs wave size (VERDICT r05 #3).
+
+The r05 A/B measured the per-wave match-then-ingest at ~5 s/wave on the
+bench graph's ~27k-doc waves — a FIXED stage chain (probe join,
+broadcast count, verify, distinct, ingest append) that read as −38%
+urls/s AT THAT WAVE SIZE. The amortization claim ("at production fat
+waves the fixed cost shrinks toward the signature pass's ∝-bytes
+floor") was argued, not exercised. This tool exercises it: the same
+graph family at 1× / 2× / 4× hosts (same depth profile, so docs/wave
+scales with the graph), each crawled with content_dedup off and on,
+every leg stamped with the IN-RUN /proc/stat sys share (the r05 scaling
+gate's measurement — instant controls miss mid-run windows).
+
+Expected shape: the absolute dedup overhead per wave grows ∝ wave bytes
+only through the signature pass, so overhead/wall falls as waves fatten;
+the ≤15% target at the largest size is the acceptance line VERDICT set.
+
+Usage: python tools/bench_crawl_fatwave.py [--quick] [--scales 1,2,4]
+Writes one JSON line per leg + a final summary JSON line; healthy-box
+evidence for BENCH.md's r06 table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[1]) + int(parts[2]), int(parts[3])
+
+
+def run_leg(spark, scale: int, dedup_on: bool) -> dict:
+    from crawl4ai_llm_spark.frontier import webgraph as wg
+    from crawl4ai_llm_spark.frontier.engine import CrawlConfig, FrontierEngine
+
+    # same family as bench.py's crawl_throughput graph; hosts (and seeds)
+    # scale together so the BFS depth profile — and therefore the wave
+    # COUNT — stays put while every wave fattens ∝ scale
+    spec = wg.GraphSpec(
+        n_hosts=300 * scale,
+        pages_per_host=700,
+        hot_factor=30,
+        max_links=12,
+        seed="bench-42",
+    )
+    cfg = CrawlConfig(
+        wave_seconds=3600.0,
+        max_depth=5,
+        max_waves=8,
+        graph=spec,
+        content_dedup=dedup_on,
+        content_dedup_policy="flag",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = FrontierEngine(spark, tmp, cfg)
+        u0, s0 = _cpu_jiffies()
+        t0 = time.time()
+        waves = eng.run(seeds=wg.seed_urls(spec, n_seeds=1000 * scale))
+        wall = time.time() - t0
+        u1, s1 = _cpu_jiffies()
+        n_urls = eng.schedule.read().count()
+        n_docs = eng.docs.read().count()
+        n_pairs = (
+            eng.dup_pairs.read().count()
+            if dedup_on and not eng.dup_pairs.is_empty()
+            else 0
+        )
+    du, ds = u1 - u0, s1 - s0
+    return {
+        "scale": scale,
+        "content_dedup": dedup_on,
+        "urls": n_urls,
+        "docs": n_docs,
+        "waves": waves,
+        "docs_per_wave": round(n_docs / max(1, waves)),
+        "wall_sec": round(wall, 1),
+        "urls_per_sec": round(n_urls / wall, 1),
+        "dup_pairs": n_pairs,
+        "run_sys_frac": round(ds / max(1, du + ds), 3),
+    }
+
+
+def main() -> None:
+    from crawl4ai_llm_spark.session import get_spark
+
+    scales = [1, 2, 4]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    if "--quick" in sys.argv:
+        scales = [1]
+    spark = get_spark(app_name="bench_crawl_fatwave")
+    rows = []
+    for scale in scales:
+        legs = {}
+        for dedup_on in (False, True):
+            r = run_leg(spark, scale, dedup_on)
+            legs[dedup_on] = r
+            print(json.dumps(r), flush=True)
+        off, on = legs[False], legs[True]
+        overhead_sec = on["wall_sec"] - off["wall_sec"]
+        rows.append(
+            {
+                "scale": scale,
+                "docs_per_wave": on["docs_per_wave"],
+                "off_urls_per_sec": off["urls_per_sec"],
+                "on_urls_per_sec": on["urls_per_sec"],
+                "overhead_sec": round(overhead_sec, 1),
+                "overhead_per_wave_sec": round(overhead_sec / max(1, on["waves"]), 2),
+                "throughput_cost_pct": round(
+                    100 * (1 - on["urls_per_sec"] / off["urls_per_sec"]), 1
+                ),
+                "dup_pairs": on["dup_pairs"],
+                "worst_sys_frac": max(off["run_sys_frac"], on["run_sys_frac"]),
+            }
+        )
+    print(json.dumps({"summary": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
