@@ -1,6 +1,8 @@
 """ANN recall sweep (BENCH.md): recall@3 and candidate fraction for each
 sign-LSH tier on the synthetic corpus — single-bucket (8-bit), multiband
-(8x8), multiprobe (8x8 + 18 lowest-margin 1-bit flips; VERDICT r04 #5).
+(8x8), multiprobe (8x8 + ANN_PROBE_FLIPS lowest-margin 1-bit flips —
+the constant is imported from operators.similarity so this sweep can
+never disagree with the shipped engine; VERDICT r04 #5 / r05 #5).
 
 Pure numpy (no Spark): the band/probe rules here replicate the executed
 semantics exactly (sign bit = v > 0 or NaN; flips at globally smallest
@@ -22,8 +24,13 @@ import sys
 import numpy as np
 import pyarrow.parquet as pq
 
-N_BANDS, BAND_BITS = 8, 8
-N_FLIPS = 18
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from crawl4ai_llm_spark.operators.similarity import (  # noqa: E402
+    ANN_BAND_BITS as BAND_BITS,
+    ANN_BANDS as N_BANDS,
+    ANN_PROBE_FLIPS as N_FLIPS,
+)
+
 TOP_K = 3
 
 
@@ -109,7 +116,7 @@ def main() -> None:
     print("|---|---|---|")
     for name, r, c in rows:
         print(f"| {name} | {r:.3f} | {c:.3f} |")
-    print(json.dumps({"n": n, "rows": [
+    print(json.dumps({"n": n, "n_flips": N_FLIPS, "rows": [
         {"tier": name, "recall": round(r, 4), "cand_frac": round(c, 4)}
         for name, r, c in rows
     ]}))

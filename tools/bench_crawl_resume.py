@@ -69,6 +69,11 @@ def main() -> None:
         pages_per_host=70 if quick else 700,
         hot_factor=30,
         max_links=12,
+        # short dup chains (length pages_per_host/k) so the pair-equality
+        # oracle is non-trivial without the O(chain^2) flag-mode explosion
+        # the r05 bench graph hit at k=7 (431k pairs): k=10/50 keeps chains
+        # at 7/14 links -> ~hundreds of pairs, not hundreds of thousands.
+        near_dup_every=10 if quick else 50,
         seed="bench-42",
     )
     seeds = wg.seed_urls(spec, n_seeds=100 if quick else 1000)
@@ -102,21 +107,28 @@ def main() -> None:
         # forge the torn wave-6 at realistic size: a full wave's worth of
         # band rows + pair rows landed, the wave checkpoint did not
         idx = eng.dedup_index()
+        bands_schema = idx.minhash_bands.read().schema
         committed = int(idx.minhash_bands.current_snapshot().counters["n_docs"])
         n_junk = max(1000, ref_docs // 8)
         junk_bands = spark.range(n_junk * 4).select(
-            F.concat(F.lit("torn-doc-"), (F.col("id") / 4).cast("long").cast("string")).alias(
-                idx.minhash_bands.read().schema.names[0]
+            F.concat(
+                F.lit("torn-doc-"), (F.col("id") / 4).cast("long").cast("string")
+            ).alias(bands_schema.names[0]),
+            F.pmod("id", F.lit(4)).cast(bands_schema[1].dataType).alias(
+                bands_schema.names[1]
             ),
-            F.pmod("id", F.lit(4)).cast(
-                idx.minhash_bands.read().schema[1].dataType
-            ).alias(idx.minhash_bands.read().schema.names[1]),
-            (F.col("id") * 2654435761).cast(
-                idx.minhash_bands.read().schema[2].dataType
-            ).alias(idx.minhash_bands.read().schema.names[2]),
+            F.pmod(F.col("id") * 2654435761, F.lit(2**31 - 1)).cast(
+                bands_schema[2].dataType
+            ).alias(bands_schema.names[2]),
         )
         idx.minhash_bands.append(
             junk_bands, counters={"wave": 6, "n_docs": committed + n_junk}
+        )
+        existing = eng.dup_pairs.read()
+        pair_cols = (
+            existing.schema.names
+            if existing is not None
+            else ["wave", "new_id", "orig_id", "jaccard"]
         )
         junk_pairs = spark.range(200).select(
             F.lit(6).cast("int").alias("wave"),
@@ -124,9 +136,7 @@ def main() -> None:
             F.concat(F.lit("torn-orig-"), F.col("id").cast("string")).alias("orig_id"),
             F.lit(1.0).alias("jaccard"),
         )
-        eng.dup_pairs.append(
-            junk_pairs.select(*eng.dup_pairs.read().schema.names), counters={"wave": 6}
-        )
+        eng.dup_pairs.append(junk_pairs.select(*pair_cols), counters={"wave": 6})
         print(json.dumps({"phase": "torn_wave_forged", "junk_band_docs": n_junk}),
               flush=True)
 
