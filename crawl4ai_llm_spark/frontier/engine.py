@@ -597,18 +597,28 @@ class FrontierEngine:
         n_dups = 0
         dup_caches: list = []
         wave_docs = None
+        wave_prepared = None
         if cfg.content_dedup:
             idx = self.dedup_index()
             wave_docs = results.where(F.col("ok")).select(
                 F.col("url").alias("doc_id"), self._spans_text(F.col("spans")).alias("text")
             )
+            # ONE signature pass per wave, shared by the match and the
+            # commit-phase ingest (it ran twice before — the single
+            # largest slice of the per-wave dedup cost), and the wave's
+            # band rows broadcast into the stored-table join (n_fetched
+            # gates it), so the growing stored band table is scanned
+            # map-side, never shuffled.
+            wave_prepared = idx.prepare_batch(wave_docs).cache()
+            dup_caches.append(wave_prepared)
             stored = self.docs.read()
             if stored is not None and not idx.minhash_bands.is_empty():
                 stored_text = stored.select(
                     "doc_id", self._spans_text(F.col("spans")).alias("text")
                 )
                 pairs = idx.match_documents(
-                    wave_docs, stored_text, tau=cfg.content_dedup_tau, caches=dup_caches
+                    wave_docs, stored_text, tau=cfg.content_dedup_tau,
+                    caches=dup_caches, prepared=wave_prepared, n_batch=n_fetched,
                 ).cache()
                 dup_caches.append(pairs)
                 n_dups = pairs.count()
@@ -622,8 +632,13 @@ class FrontierEngine:
                 out = out.join(
                     pairs.select(F.col("new_id").alias("url")).distinct(), "url", "left_anti"
                 )
+            # row-level wave tag: snapshot counters carry the wave too, but
+            # compaction rewrites files and mixes waves — the column is what
+            # makes "latest fetch per doc_id" (the recrawl path) expressible
             self.docs.append(
-                out.select(F.col("url").alias("doc_id"), "spans").coalesce(k),
+                out.select(
+                    F.col("url").alias("doc_id"), "spans", F.lit(wave).alias("wave")
+                ).coalesce(k),
                 counters=wave_tag,
             )
 
@@ -638,13 +653,14 @@ class FrontierEngine:
                     counters=wave_tag,
                 )
             ingest = wave_docs
+            prepared = wave_prepared
             if pairs is not None and n_dups and cfg.content_dedup_policy == "skip":
-                ingest = wave_docs.join(
-                    pairs.select(F.col("new_id").alias("doc_id")).distinct(),
-                    "doc_id",
-                    "left_anti",
-                )
-            self.dedup_index().ingest_documents(ingest, counters=wave_tag)
+                skipped = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+                ingest = wave_docs.join(skipped, "doc_id", "left_anti")
+                prepared = wave_prepared.join(skipped, "doc_id", "left_anti")
+            self.dedup_index().ingest_documents(
+                ingest, counters=wave_tag, prepared=prepared
+            )
 
         def commit_seen():
             self.seen.append(
@@ -887,6 +903,44 @@ class FrontierEngine:
                 self.dup_pairs.compact(k, counters=wave_tag)
                 if expire_keep_last:
                     self.dup_pairs.expire_snapshots(expire_keep_last)
+
+    def rebuild_content_index(self) -> int:
+        """Rebuild the content-dedup index from the CURRENT docs table,
+        keeping only the latest fetch per doc_id (highest ``wave``).
+
+        The per-wave ingest is append-only, so evict_from_seen + organic
+        recrawl grows one stale band-key copy per recrawl (the corner
+        documented on CrawlConfig.content_dedup): matches stay CORRECT —
+        the probe deduplicates — but every later matcher pays the stale
+        rows' shuffle weight, and a changed page's OLD content keeps
+        attracting pairs. A recrawl-heavy deployment runs this between
+        waves. Cost shape: one doc_id window shuffle over the docs table
+        + one signature pass over the survivors — the same scale as
+        re-ingesting the corpus once, never all-pairs. Resume-safe like
+        compact_tables: runs between committed waves, tagged with the
+        committed wave. Returns the rebuilt document count."""
+        if not self.config.content_dedup:
+            raise ValueError("content_dedup is off for this crawl")
+        wave = self.last_committed_wave()
+        idx = self.dedup_index()
+        docs = self.docs.read()
+        if docs is None:
+            if not idx.minhash_bands.is_empty():
+                idx.minhash_bands.truncate(counters={"wave": wave})
+            return 0
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("wave").desc())
+        text = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", self._spans_text(F.col("spans")).alias("text"))
+            .cache()
+        )
+        idx.mark_stale()
+        idx.sync_documents(text, tags={"wave": wave})
+        text.unpersist()
+        return int(idx.minhash_bands.current_snapshot().counters["n_docs"])
 
     def run(self, seeds: list[str] | None = None, max_waves: int | None = None) -> int:
         """Crawl to frontier exhaustion (or the wave cap). Returns the number

@@ -44,6 +44,15 @@ class GraphSpec:
     # host plus ONE extra short text span — a near- (not exact-) duplicate.
     # 0 (default) leaves every existing graph bit-identical.
     near_dup_every: int = 0
+    # text vocabulary size. The default 16 keeps every existing graph
+    # bit-identical but makes short spans collide at Jaccard ≥ 0.5 across
+    # the WHOLE corpus — organic near-dup pairs grow ∝ N² with graph size
+    # (measured: 6.9k→107k pairs from 1×→4× hosts), which confounds any
+    # scaling measurement of the dedup path. Benches that need dup pairs
+    # ∝ planted rate only set this large (e.g. 65536): indexes ≥ 16 render
+    # as synthetic tokens "w<i>", so accidental cross-page collisions
+    # vanish while planted chains still duplicate by construction.
+    vocab: int = 16
 
     def host_pages(self, h: int) -> int:
         # zipf-ish: host 0 is hot, the rest uniform
@@ -133,6 +142,13 @@ _WORDS = [
 ]
 
 
+def _word(spec: GraphSpec, idx: int) -> str:
+    """Word ``idx % spec.vocab``: the 16 readable words first, synthetic
+    tokens beyond (GraphSpec.vocab — identical output at the default)."""
+    i = idx % spec.vocab
+    return _WORDS[i] if i < len(_WORDS) else f"w{i}"
+
+
 def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
     """Interleaved spans: alternating text and media, offsets strictly
     ascending; text non-null iff kind == 'text' (FIXTURES.md §5).
@@ -154,7 +170,7 @@ def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
         spans = [dict(s) for s in page_spans(spec, canonical_page_url(h, 0))]
         for m in range(k, p + 1, k):
             ws = iter(_stream_words(spec, "dupextra|" + canonical_page_url(h, m), 4))
-            txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(3))
+            txt = " ".join(_word(spec, next(ws)) for _ in range(3))
             if spans:
                 last = spans[-1]
                 off = last["offset"] + (len(last["text"]) + 1 if last["kind"] == "text" else 32)
@@ -171,7 +187,7 @@ def page_spans(spec: GraphSpec, canon_url: str) -> list[dict]:
         is_text = i % 2 == 0 or next(ws) % 100 < 50
         if is_text:
             n_words = 3 + next(ws) % 10
-            txt = " ".join(_WORDS[next(ws) % len(_WORDS)] for _ in range(n_words))
+            txt = " ".join(_word(spec, next(ws)) for _ in range(n_words))
             spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": offset})
             offset += len(txt) + 1
         else:

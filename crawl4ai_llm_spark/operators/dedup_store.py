@@ -94,18 +94,44 @@ class DedupIndex:
 
     # ------------------------------------------------------------------ ingest
 
+    def prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, grams, sig) fused frame for a batch — THE signature
+        pass. A caller that both matches and ingests the same batch (the
+        crawl wave loop, StreamingDedup, the store's content tier) should
+        compute this ONCE, cache it, and pass it to both
+        ``match_documents(prepared=...)`` and
+        ``ingest_documents(prepared=...)`` — the signature pass is the
+        single largest per-batch cost (measured 35 s for 198k
+        planted-chain docs), and the legacy paths ran it twice per wave.
+        Caller owns the cache lifetime."""
+        from crawl4ai_llm_spark.operators import dedup
+
+        return dedup.with_minhash_sig(
+            _widen(batch, self.spark).select(
+                "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
+            )
+        )
+
     def ingest_documents(
-        self, docs: DataFrame, counters: dict[str, int] | None = None
+        self,
+        docs: DataFrame,
+        counters: dict[str, int] | None = None,
+        prepared: DataFrame | None = None,
     ) -> int:
         """Append the batch's MinHash band keys (one shingle+signature Arrow
         pass over the batch — never the stored corpus). ``docs``:
-        (doc_id, text). Returns the number of documents indexed."""
+        (doc_id, text). ``prepared``: this batch's cached
+        ``prepare_batch`` frame — reuses its signatures instead of
+        recomputing them. Returns the number of documents indexed."""
         from crawl4ai_llm_spark.operators import dedup
 
-        sh = _widen(docs, self.spark).select(
-            "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
-        )
-        bd = dedup.band_rows(dedup.minhash_signatures(sh))
+        if prepared is not None:
+            bd = dedup.band_rows(prepared.select("doc_id", "sig"))
+        else:
+            sh = _widen(docs, self.spark).select(
+                "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
+            )
+            bd = dedup.band_rows(dedup.minhash_signatures(sh))
         snap = self.minhash_bands.current_snapshot()
         # a truncated (rolled-back-to-empty) table has a snapshot but no
         # files and no scheme counter — it is a fresh table, not a mismatch
@@ -229,6 +255,8 @@ class DedupIndex:
         stored_docs: DataFrame,
         tau: float = JACCARD_TAU,
         caches: list | None = None,
+        prepared: DataFrame | None = None,
+        n_batch: int | None = None,
     ) -> DataFrame:
         """(new_id, orig_id, jaccard): every batch doc paired with each
         stored doc it duplicates at exact full-gram Jaccard ≥ tau.
@@ -252,22 +280,33 @@ class DedupIndex:
         LOOPING caller (StreamingDedup, the store's content tier) can
         unpersist them — each batch's plans are unique, so CacheManager
         dedupe never reclaims them (r04 leak finding). When None, the
-        caches are session-lifetime (the bench-query sharing mode)."""
+        caches are session-lifetime (the bench-query sharing mode).
+
+        ``prepared``: the batch's cached ``prepare_batch`` frame — skips
+        this call's own signature pass (the caller shares it with
+        ``ingest_documents``; caller owns the cache). ``n_batch``: the
+        batch's doc count when the caller already knows it — gates a
+        BROADCAST of the batch band rows into the stored-table join, so
+        the STORED band table is never shuffled (map-side join against
+        the parquet scan). At 10⁹ stored docs the shuffle of the stored
+        side is the match's scale ceiling; the batch side is the small
+        one by design (batch ≪ corpus)."""
         from crawl4ai_llm_spark.operators import dedup
 
         stored_bd = self.minhash_bands.read()
         if stored_bd is None:
             raise ValueError("dedup index is empty — ingest_documents first")
         _require_scheme(self.minhash_bands, "sig_scheme", SIG_SCHEME, "minhash_bands")
-        # fused cache: grams feed verification, sig feeds banding
-        fused = dedup.with_minhash_sig(
-            _widen(batch, self.spark).select(
-                "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
-            )
-        ).cache()
-        if caches is not None:
-            caches.append(fused)
+        if prepared is not None:
+            fused = prepared
+        else:
+            # fused cache: grams feed verification, sig feeds banding
+            fused = self.prepare_batch(batch).cache()
+            if caches is not None:
+                caches.append(fused)
         batch_bd = dedup.band_rows(fused.select("doc_id", "sig"))
+        if n_batch is not None and n_batch * dedup.N_BANDS <= dedup.BROADCAST_PAIR_BUDGET:
+            batch_bd = F.broadcast(batch_bd)
         cand = (
             batch_bd.alias("n")
             .join(

@@ -435,8 +435,9 @@ class ProductStore:
                     raise DuplicateProductError(
                         dup_sample[:20], truncated=len(dup_sample) > 20
                     )
+            prepared = None
             if reject_near_dups is not None:
-                batch = self._content_dup_tier(
+                batch, prepared = self._content_dup_tier(
                     batch, existing, reject_near_dups, near_dup_tau, on_near_dup, caches
                 )
             n, max_seq = batch.agg(
@@ -452,11 +453,16 @@ class ProductStore:
                 # changed checked column and would force a full rebuild)
                 import zlib
 
+                if prepared is not None:
+                    prepared = prepared.join(
+                        batch.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+                    )
                 self._content_index().ingest_documents(
                     batch.select(
                         F.col("id").alias("doc_id"),
                         F.col(reject_near_dups).cast("string").alias("text"),
                     ),
+                    prepared=prepared,
                     counters={
                         "data_snapshot": self.table.current_snapshot().snapshot_id,
                         "text_col_crc": zlib.crc32(reject_near_dups.encode()),
@@ -476,8 +482,10 @@ class ProductStore:
         on_near_dup: str,
         caches: list,
     ) -> DataFrame:
-        """Batch-vs-stored content check; returns the batch (possibly
-        filtered in "skip" mode). Syncs the index first
+        """Batch-vs-stored content check; returns (batch, prepared) —
+        the batch possibly filtered in "skip" mode, and the batch's
+        cached prepare_batch frame (None when no match ran) for the
+        post-commit ingest to reuse. Syncs the index first
         (DedupIndex.sync_documents): a count divergence (crash between
         data and index commits, or an unindexed save), a changed checked
         COLUMN, a signature-scheme bump, or a pending ``stale`` flag
@@ -491,26 +499,30 @@ class ProductStore:
         from crawl4ai_llm_spark.errors import NearDuplicateContentError
 
         if existing is None:
-            return batch
+            return batch, None
         idx = self._content_index()
         existing_docs = existing.select(
             F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
         )
         if existing.limit(1).count() == 0:
-            return batch
+            return batch, None
         idx.sync_documents(
             existing_docs, tags={"text_col_crc": zlib.crc32(text_col.encode())}
         )
         batch_docs = batch.select(
             F.col("id").alias("doc_id"), F.col(text_col).cast("string").alias("text")
         )
+        # ONE signature pass for this batch, shared with the post-commit
+        # ingest (it ran twice per save before)
+        prepared = idx.prepare_batch(batch_docs).cache()
+        caches.append(prepared)
         matches = idx.match_documents(
-            batch_docs, existing_docs, tau=tau, caches=caches
+            batch_docs, existing_docs, tau=tau, caches=caches, prepared=prepared
         ).cache()
         caches.append(matches)
         sample = matches.orderBy("new_id", "orig_id").limit(21).collect()
         if not sample:
-            return batch
+            return batch, prepared
         if on_near_dup == "reject":
             raise NearDuplicateContentError(
                 [(r["new_id"], r["orig_id"], r["jaccard"]) for r in sample[:20]],
@@ -521,7 +533,7 @@ class ProductStore:
         # bounded by true duplicates)
         return batch.join(
             matches.select(F.col("new_id").alias("id")).distinct(), "id", "left_anti"
-        )
+        ), prepared
 
     def save_products(self, products: list[dict[str, Any]]) -> list[str]:
         """D2 — batch insert, one atomic commit.

@@ -93,6 +93,13 @@ class StreamingDedup:
         # microbatch would leak its match caches for the life of the
         # stream (code-review r04 finding)
         caches: list = [batch_df]
+        # text kind: ONE signature pass per microbatch, shared by match
+        # and ingest (they each ran their own before)
+        prepared = None
+        if self.kind == "text":
+            prepared = self.index.prepare_batch(batch_df).cache()
+            caches.append(prepared)
+        extra = {"prepared": prepared} if prepared is not None else {}
         match = (
             self.index.match_documents
             if self.kind == "text"
@@ -108,7 +115,7 @@ class StreamingDedup:
                 stored = self.corpus.read()
                 if stored is not None and not self._index_table.is_empty():
                     found = match(
-                        batch_df, stored, tau=self.tau, caches=caches
+                        batch_df, stored, tau=self.tau, caches=caches, **extra
                     ).withColumn("batch_id", F.lit(batch_id))
                 else:  # first batch: nothing ingested yet
                     found = self.spark.createDataFrame(
@@ -121,7 +128,7 @@ class StreamingDedup:
                 self.corpus.append(batch_df, counters={"batch_id": batch_id})
             # band-key ingest carries its own cumulative counter — preserved
             if not self._applied(self._index_table, batch_id):
-                ingest(batch_df, counters={"batch_id": batch_id})
+                ingest(batch_df, counters={"batch_id": batch_id}, **extra)
         finally:
             for c in caches:
                 c.unpersist()

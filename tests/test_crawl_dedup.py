@@ -230,7 +230,7 @@ def test_resume_truncates_first_wave_torn_table(spark, tmp_path):
     cfg = CrawlConfig(**CFG, graph=SPEC, content_dedup=True)
     eng = FrontierEngine(spark, wh, cfg)
     eng.init_seeds(SEEDS)  # checkpoint at wave 0; docs/index never written
-    junk = spark.createDataFrame([("junk", [])], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    junk = spark.createDataFrame([("junk", [], 1)], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, wave int")
     eng.docs.append(junk, counters={"wave": 1})
     idx = eng.dedup_index()
     jb = spark.createDataFrame([("junk", 0, 1)], "doc_id string, band int, key long")
@@ -246,3 +246,72 @@ def test_resume_truncates_first_wave_torn_table(spark, tmp_path):
     snap = eng2.dedup_index().minhash_bands.current_snapshot()
     assert int(snap.counters["n_docs"]) == n_docs
     assert eng2.docs.read().select("doc_id").distinct().count() == n_docs
+
+
+def test_rebuild_content_index_after_recrawl(spark, tmp_path, oracle):
+    """The CrawlConfig corner note exercised end-to-end: evict_from_seen +
+    organic recrawl appends a second docs row AND a stale band-key copy
+    per recrawled URL; rebuild_content_index keeps only the latest fetch
+    per doc_id (row-level wave column), returning the index to the
+    distinct-doc count with matching behavior preserved."""
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"),
+        CrawlConfig(**CFG, graph=SPEC, content_dedup=True, content_dedup_tau=TAU),
+    )
+    eng.run(seeds=SEEDS)
+    n0 = eng.docs.read().count()
+    assert n0 == eng.docs.read().select("doc_id").distinct().count()
+    bands_per_doc = eng.dedup_index().minhash_bands.read().count() // n0
+
+    victims = sorted(oracle.fetched)[:3]
+    assert eng.evict_from_seen(victims) == 3
+    eng.enqueue(victims)
+    assert eng.run(seeds=None) >= 1  # the recrawl wave actually ran
+
+    # the corner: one extra docs row + one stale index copy per recrawl.
+    # (re-entering at depth 0 can also legitimately open pages beyond the
+    # original depth horizon — so compare rows vs distinct, not vs n0)
+    rows = eng.docs.read().count()
+    n_distinct = eng.docs.read().select("doc_id").distinct().count()
+    assert rows == n_distinct + 3
+    dup_ids = {
+        r["doc_id"]
+        for r in eng.docs.read().groupBy("doc_id").count().where("count > 1").collect()
+    }
+    assert dup_ids == set(victims)
+    idx = eng.dedup_index()
+    assert int(idx.minhash_bands.current_snapshot().counters["n_docs"]) == rows
+    # the recrawled docs matched their own earlier copy at J=1.0
+    self_pairs = {
+        (r["new_id"], r["orig_id"]): r["jaccard"]
+        for r in eng.dup_pairs.read().collect()
+        if r["new_id"] in set(victims) and r["new_id"] == r["orig_id"]
+    }
+    assert set(self_pairs) == {(v, v) for v in victims}
+    assert all(abs(j - 1.0) < 1e-9 for j in self_pairs.values())
+
+    n = eng.rebuild_content_index()
+    assert n == n_distinct
+    snap = idx.minhash_bands.current_snapshot()
+    assert int(snap.counters["n_docs"]) == n_distinct
+    assert idx.minhash_bands.read().count() == n_distinct * bands_per_doc
+    assert not snap.counters.get("stale")
+
+    # matching against the rebuilt index still finds the right orig
+    from pyspark.sql import functions as F
+
+    probe_text = " ".join(
+        s["text"] for s in oracle.spans[victims[0]] if s["kind"] == "text"
+    )
+    probe = spark.createDataFrame([("probe-1", probe_text)], "doc_id string, text string")
+    stored = eng.docs.read()
+    w_latest = (
+        stored.groupBy("doc_id").agg(F.max("wave").alias("wave"))
+    )
+    stored_text = (
+        stored.join(w_latest, ["doc_id", "wave"])
+        .select("doc_id", eng._spans_text(F.col("spans")).alias("text"))
+    )
+    pairs = eng.dedup_index().match_documents(probe, stored_text, tau=TAU).collect()
+    hits = {r["orig_id"]: r["jaccard"] for r in pairs if r["new_id"] == "probe-1"}
+    assert victims[0] in hits and abs(hits[victims[0]] - 1.0) < 1e-9

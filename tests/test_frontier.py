@@ -115,7 +115,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path, oracle):
 
     # simulate a torn wave: docs got an uncommitted wave-4 append, the
     # checkpoint never landed
-    junk = spark.createDataFrame([("junk", [])], eng.docs.read().schema)
+    junk = spark.createDataFrame([("junk", [], 4)], eng.docs.read().schema)
     eng.docs.append(junk, counters={"wave": 4})
 
     cfg2 = CrawlConfig(**{**cfg.__dict__, "max_waves": CFG["max_waves"]})

@@ -50,6 +50,13 @@ def run_leg(spark, scale: int, dedup_on: bool) -> dict:
         pages_per_host=700,
         hot_factor=30,
         max_links=12,
+        # the default 16-word vocab makes organic near-dup PAIRS grow ∝
+        # hosts² (measured 6.9k→107k from 1×→4×), drowning the fixed-cost
+        # amortization this tool exists to measure — large vocab kills the
+        # accidental collisions; near_dup_every=50 plants a LINEAR-in-corpus
+        # dup rate (chain length 14/host) so the match path still does work
+        vocab=65536,
+        near_dup_every=50,
         seed="bench-42",
     )
     cfg = CrawlConfig(
