@@ -621,6 +621,16 @@ class FrontierEngine:
                     caches=dup_caches, prepared=wave_prepared, n_batch=n_fetched,
                 ).cache()
                 dup_caches.append(pairs)
+                # materialize SERIALLY, before the commit pool: deferring
+                # this count into commit_content_dedup's thread (to overlap
+                # the other commits) was tried and measured 60% SLOWER end
+                # to end on this box — the match is CPU-dense (signature
+                # UDF + band join), and running it concurrently with five
+                # other 32-task jobs explodes system time (the sandbox's
+                # documented concurrent-load pathology). On a real cluster
+                # with excess executor slots the overlap would win; the
+                # serial order is also what pins backward-only semantics
+                # without relying on plan-build timing.
                 n_dups = pairs.count()
             mark("content_dedup_match")
 
@@ -628,7 +638,9 @@ class FrontierEngine:
 
         def commit_docs():
             out = results.where(F.col("ok"))
-            if pairs is not None and n_dups and cfg.content_dedup_policy == "skip":
+            # policy check FIRST: in flag mode n_dups is being assigned on
+            # commit_content_dedup's thread while this one runs
+            if cfg.content_dedup_policy == "skip" and pairs is not None and n_dups:
                 out = out.join(
                     pairs.select(F.col("new_id").alias("url")).distinct(), "url", "left_anti"
                 )

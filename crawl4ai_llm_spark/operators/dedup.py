@@ -90,9 +90,17 @@ def _broadcast_if_small(cand: DataFrame, caches: list | None = None) -> DataFram
 N_HASHES = 128
 N_BANDS = 32
 ROWS_PER_BAND = 4
+# Multiply-shift permutations (Dietzfelbinger universal hashing):
+# h_i(x) = (a_i·x + b_i) >> 33 over wrap-around uint64, a_i odd — values
+# land in [0, 2^31). Rounds 2-5 used affine-mod-P (a·x+b mod 1e9+7), but
+# the (128, n_grams) modulo matrix was THE signature-pass hot spot:
+# integer division ran 1.4 s/partition where multiply+shift in-place runs
+# 0.065 s (profiled on this box at 134k grams/partition; the pass fell
+# from 23 s to ~4 s per 100k-doc wave). Scheme change ⇒ SIG_SCHEME 3.
+SIG_SHIFT = 33
 _rng = random.Random(42)
-MINHASH_A = [_rng.randrange(1, tx.HASH_P) for _ in range(N_HASHES)]
-MINHASH_B = [_rng.randrange(0, tx.HASH_P) for _ in range(N_HASHES)]
+MINHASH_A = [_rng.randrange(1, 1 << 64) | 1 for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, 1 << 64) for _ in range(N_HASHES)]
 
 
 # --------------------------------------------------------------------------
@@ -324,7 +332,7 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
     """(doc_id, grams) → (doc_id, grams, sig): 128 min-hash values per doc
     with ZERO shuffle — ONE Arrow pass per batch hashes every gram with
     pandas' vectorized 64-bit hash (C speed) and computes all 128
-    affine-permutation mins in numpy. Keeping grams alongside lets
+    multiply-shift permutation mins in numpy. Keeping grams alongside lets
     q_dedup_minhash_lsh cache ONE fused table feeding both the band join
     (sig) and verification (grams), instead of two stacked caches
     (VERDICT r03 #4 — measured ≥1 s off the cold path at sf0.1).
@@ -353,11 +361,11 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
 
         # uint64, NOT int64: this platform's numpy runs signed-64 multiply
         # ~300x slower than unsigned (18s vs 0.1s for 33M elements —
-        # measured; int32/uint64/float64 are all fine). gh,a < P≈2^30 so
-        # products stay < 2^60 — no overflow either way.
+        # measured; int32/uint64/float64 are all fine). Multiply-shift
+        # WANTS the wrap-around: products mod 2^64 is the hash family.
         A = np.array(MINHASH_A, dtype=np.uint64)[:, None]
         B = np.array(MINHASH_B, dtype=np.uint64)[:, None]
-        P = np.uint64(tx.HASH_P)
+        SHIFT = np.uint64(SIG_SHIFT)
         counter = _SIG_ROWS_COUNTER  # closure-captured (ships to workers)
 
         def sig(gs):  # pd.Series[list[str]] -> pd.Series[list[int]]
@@ -369,11 +377,14 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
             flat = np.concatenate([np.asarray(g, dtype=object) for g in gs])
             # vectorized 64-bit string hash (siphash, C speed); the fixed
             # hash_key makes it deterministic across workers and runs
-            gh = (
-                pd.util.hash_array(flat, hash_key="crawl4ai_spark42", categorize=False)
-                % P
-            )  # stays uint64 — signed-64 numpy math is ~300x slower here
-            m = (A * gh[None, :] + B) % P  # (128, total_grams)
+            gh = pd.util.hash_array(flat, hash_key="crawl4ai_spark42", categorize=False)
+            # multiply-shift, IN-PLACE: `(A*gh + B) % P` here cost
+            # 1.4 s/partition in integer division + 0.9 s in temporaries
+            # (three (128, n_grams) allocations); this form is one
+            # allocation and zero divisions — 0.065 s for the same input
+            m = A * gh[None, :]  # (128, total_grams), wraps mod 2^64
+            m += B
+            m >>= SHIFT  # values in [0, 2^31)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             mins = np.minimum.reduceat(m, starts, axis=1)  # (128, n_docs)

@@ -44,13 +44,22 @@ COSINE_DUP_TAU = 0.9
 # gram hash moved from JVM murmur3 to pd.util.hash_array — the persisted
 # index returned 0 candidates with no error). Bump on any change to the
 # signature arithmetic.
-SIG_SCHEME = 2  # 2 = pd.util.hash_array grams + 32×4 MinHash bands
+# 3 = multiply-shift permutations over the raw 64-bit gram hash (the
+# affine-mod-P matrix was the signature pass's hot spot — integer
+# division; dedup.SIG_SHIFT). 2 = pd.util.hash_array grams mod P +
+# affine-mod-P permutations, 32×4 MinHash bands.
+SIG_SCHEME = 3
 # 2 = NaN coordinates set the sign bit (dedup.sign_band_keys_fast matches
 # the oracle's `v >= 0 is NULL → bit set` rule since r05, dedup.py NaN
 # parity fix); 1 = NaN treated as negative. Indexes persisted under
 # scheme 1 yield different keys for NaN coordinates — exactly the
 # silent-zero-candidates failure this guard exists to catch (ADVICE r05).
 SIGN_SCHEME = 2  # 4×16-bit coordinate-sign bands, NaN→sign-bit-set
+
+# Broadcast gate for a BATCH's band rows going into the stored-band join
+# (match_documents n_batch path): rows, not pairs — a band row is one
+# (doc_id, band, key) tuple, 32 per doc.
+BROADCAST_BAND_ROW_BUDGET = 8_000_000
 
 
 def _require_scheme(table: Table, key: str, want: int, what: str) -> None:
@@ -305,7 +314,13 @@ class DedupIndex:
             if caches is not None:
                 caches.append(fused)
         batch_bd = dedup.band_rows(fused.select("doc_id", "sig"))
-        if n_batch is not None and n_batch * dedup.N_BANDS <= dedup.BROADCAST_PAIR_BUDGET:
+        # band rows are ~24 bytes each, so this gate admits ~250k-doc
+        # batches (~200 MB broadcast). Profiled at 100k batch docs vs a
+        # 9.6M-row stored table: shuffled join 9.5 s, broadcast 0.35 s —
+        # the shuffle's many short exchange tasks dominate, not the probe.
+        # Above the gate the join falls back to shuffle, which is the
+        # right plan once the batch stops being ≪ the corpus.
+        if n_batch is not None and n_batch * dedup.N_BANDS <= BROADCAST_BAND_ROW_BUDGET:
             batch_bd = F.broadcast(batch_bd)
         cand = (
             batch_bd.alias("n")

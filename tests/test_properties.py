@@ -90,7 +90,7 @@ def test_simhash_pigeonhole_banding(fp64, flip_bits):
 
 @given(
     st.lists(
-        st.lists(st.integers(min_value=0, max_value=1_000_000_006), min_size=1, max_size=40),
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=40),
         min_size=1,
         max_size=12,
     )
@@ -100,24 +100,32 @@ def test_minhash_vectorized_signature_matches_reference(gram_hash_lists):
     """The uint64 reduceat signature pass (operators/dedup.py) equals the
     obvious per-doc min loop, for arbitrary gram-hash lists — guards the
     platform-driven uint64/reduceat machinery against silent regressions."""
-    from crawl4ai_llm_spark.operators.dedup import MINHASH_A, MINHASH_B, N_HASHES
+    from crawl4ai_llm_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        N_HASHES,
+        SIG_SHIFT,
+    )
 
-    import crawl4ai_llm_spark.functions.text as tx
-
-    P = tx.HASH_P
-    # vectorized pass, exactly as the pandas UDF computes it
+    # vectorized pass, exactly as the pandas UDF computes it (multiply-
+    # shift over wrap-around uint64, in-place)
     A = np.array(MINHASH_A, dtype=np.uint64)[:, None]
     B = np.array(MINHASH_B, dtype=np.uint64)[:, None]
     lens = np.array([len(g) for g in gram_hash_lists])
     flat = np.concatenate([np.asarray(g, dtype=np.int64) for g in gram_hash_lists]).astype(np.uint64)
-    m = (A * flat[None, :] + B) % np.uint64(P)
+    m = A * flat[None, :]
+    m += B
+    m >>= np.uint64(SIG_SHIFT)
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     vec = np.minimum.reduceat(m, starts, axis=1).T.astype(np.int64)
-    # reference: per-doc, per-permutation python min
+    # reference: per-doc, per-permutation python min (mod 2^64 wraparound)
+    M64 = 1 << 64
     for d, grams in enumerate(gram_hash_lists):
         for i in range(0, N_HASHES, 17):  # sample permutations for speed
-            expect = min((MINHASH_A[i] * g + MINHASH_B[i]) % P for g in grams)
+            expect = min(
+                ((MINHASH_A[i] * g + MINHASH_B[i]) % M64) >> SIG_SHIFT for g in grams
+            )
             assert vec[d, i] == expect
 
 
