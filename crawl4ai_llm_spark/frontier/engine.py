@@ -196,6 +196,9 @@ class FrontierEngine:
         # per-wave resolved bloom transport (observability for the "auto"
         # mode's switch point; tiny)
         self.transport_log: list[str] = []
+        # per-wave phase walls (run_wave's mark() points) — benches read
+        # this to attribute e.g. the content-dedup phase directly
+        self.wave_marks: dict[int, dict[str, float]] = {}
 
     # ------------------------------------------------------------------ setup
 
@@ -412,11 +415,14 @@ class FrontierEngine:
         _t = _time.time()
 
         def mark(name: str) -> None:
+            # always recorded (7 clock reads/wave): wave_marks is how the
+            # fatwave bench attributes the dedup phase DIRECTLY instead of
+            # inferring it from an A/B wall subtraction that box-state
+            # variance can swamp
             nonlocal _t
-            if verbose:
-                now = _time.time()
-                marks.append((name, round(now - _t, 2)))
-                _t = now
+            now = _time.time()
+            marks.append((name, round(now - _t, 2)))
+            _t = now
 
         cfg = self.config
         pending = self.frontier.read()
@@ -732,6 +738,7 @@ class FrontierEngine:
             [self._cp_row(wave, r) for r in lineage_rows], counters=wave_tag
         )
         mark("checkpoint")
+        self.wave_marks[wave] = dict(marks)
         if verbose:
             print(f"# wave {wave} timing: {marks}", flush=True)
 

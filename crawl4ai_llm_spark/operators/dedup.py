@@ -403,6 +403,76 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return with_minhash_sig(shingles).select("doc_id", "sig")
 
 
+_text_sig_udf = None
+
+
+def with_text_sig(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, text, sig): tokenize + shingle + hash +
+    multiply-shift minhash in ONE Arrow pass — the gram strings never
+    cross the Arrow boundary. The two-UDF chain (word_ngrams_fast →
+    with_minhash_sig) ships every gram string Python→JVM→Python and, in
+    the prepare_batch path, caches them JVM-side: profiled at an 81k-doc
+    crawl wave, that boundary+cache cost was the match's largest phase
+    (4.5 s vs ~0.3 s of signature arithmetic). Signatures are
+    BIT-IDENTICAL to the chain (same tokens, same distinct grams, same
+    hash_key, same permutations) — same SIG_SCHEME. Docs with <3 tokens
+    get a NULL sig (same dropped domain as with_minhash_sig's size>0
+    filter); callers filter ``sig IS NOT NULL``. Verification re-derives
+    grams per matched doc only (candidates ∝ true dups), via
+    word_ngrams_fast."""
+    global _text_sig_udf
+    if _text_sig_udf is None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        A = np.array(MINHASH_A, dtype=np.uint64)[:, None]
+        B = np.array(MINHASH_B, dtype=np.uint64)[:, None]
+        SHIFT = np.uint64(SIG_SHIFT)
+        counter = _SIG_ROWS_COUNTER  # closure-captured (ships to workers)
+
+        def tsig(ts):  # pd.Series[str] -> pd.Series[list[int] | None]
+            if counter is not None:
+                counter.add(len(ts))
+            if len(ts) == 0:
+                return pd.Series([], dtype=object)
+            gram_lists = []
+            for t in ts:
+                toks = [w for w in (t or "").split(" ") if w]
+                gram_lists.append(
+                    list({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+                    if len(toks) >= 3
+                    else []
+                )
+            lens = np.array([len(g) for g in gram_lists], dtype=np.int64)
+            if lens.sum() == 0:
+                return pd.Series([None] * len(ts), dtype=object)
+            flat = np.concatenate([np.asarray(g, dtype=object) for g in gram_lists])
+            gh = pd.util.hash_array(flat, hash_key="crawl4ai_spark42", categorize=False)
+            m = A * gh[None, :]  # in-place multiply-shift (see sig())
+            m += B
+            m >>= SHIFT
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # reduceat segments with len 0 would read the NEXT segment's
+            # min — clamp and null them out after
+            mins = np.minimum.reduceat(m, np.clip(starts, 0, len(flat) - 1), axis=1)
+            sigs = mins.T.astype(np.int64)
+            return pd.Series(
+                [None if n == 0 else s for n, s in zip(lens, sigs)], dtype=object
+            )
+
+        # asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
+        # without it Catalyst inlines the `sig IS NOT NULL` filter through
+        # the projection and evaluates the UDF twice per row (measured:
+        # the ingest accumulator counted every doc 2x)
+        _text_sig_udf = pandas_udf(tsig, "array<long>").asNondeterministic()
+
+    return docs.select(
+        "doc_id", F.col(text_col).alias("text"), _text_sig_udf(F.col(text_col)).alias("sig")
+    ).where(F.col("sig").isNotNull())
+
+
 def band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band, key) rows — one per signature band (32 bands × 4
     rows hashed to a key). This is the layout the STORED side of

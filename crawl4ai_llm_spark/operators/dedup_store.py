@@ -104,22 +104,18 @@ class DedupIndex:
     # ------------------------------------------------------------------ ingest
 
     def prepare_batch(self, batch: DataFrame) -> DataFrame:
-        """(doc_id, grams, sig) fused frame for a batch — THE signature
-        pass. A caller that both matches and ingests the same batch (the
-        crawl wave loop, StreamingDedup, the store's content tier) should
-        compute this ONCE, cache it, and pass it to both
-        ``match_documents(prepared=...)`` and
+        """(doc_id, text, sig) fused frame for a batch — THE signature
+        pass (one text→sig Arrow pass; gram strings never cross the
+        Arrow boundary, dedup.with_text_sig). A caller that both matches
+        and ingests the same batch (the crawl wave loop, StreamingDedup,
+        the store's content tier) should compute this ONCE, cache it, and
+        pass it to both ``match_documents(prepared=...)`` and
         ``ingest_documents(prepared=...)`` — the signature pass is the
-        single largest per-batch cost (measured 35 s for 198k
-        planted-chain docs), and the legacy paths ran it twice per wave.
-        Caller owns the cache lifetime."""
+        single largest per-batch cost, and the legacy paths ran it twice
+        per wave. Caller owns the cache lifetime."""
         from crawl4ai_llm_spark.operators import dedup
 
-        return dedup.with_minhash_sig(
-            _widen(batch, self.spark).select(
-                "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
-            )
-        )
+        return dedup.with_text_sig(_widen(batch, self.spark))
 
     def ingest_documents(
         self,
@@ -137,10 +133,9 @@ class DedupIndex:
         if prepared is not None:
             bd = dedup.band_rows(prepared.select("doc_id", "sig"))
         else:
-            sh = _widen(docs, self.spark).select(
-                "doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams")
+            bd = dedup.band_rows(
+                dedup.with_text_sig(_widen(docs, self.spark)).select("doc_id", "sig")
             )
-            bd = dedup.band_rows(dedup.minhash_signatures(sh))
         snap = self.minhash_bands.current_snapshot()
         # a truncated (rolled-back-to-empty) table has a snapshot but no
         # files and no scheme counter — it is a fresh table, not a mismatch
@@ -309,35 +304,93 @@ class DedupIndex:
         if prepared is not None:
             fused = prepared
         else:
-            # fused cache: grams feed verification, sig feeds banding
+            # fused cache: text feeds verification re-gram, sig feeds banding
             fused = self.prepare_batch(batch).cache()
             if caches is not None:
                 caches.append(fused)
         batch_bd = dedup.band_rows(fused.select("doc_id", "sig"))
-        # band rows are ~24 bytes each, so this gate admits ~250k-doc
-        # batches (~200 MB broadcast). Profiled at 100k batch docs vs a
-        # 9.6M-row stored table: shuffled join 9.5 s, broadcast 0.35 s —
-        # the shuffle's many short exchange tasks dominate, not the probe.
-        # Above the gate the join falls back to shuffle, which is the
-        # right plan once the batch stops being ≪ the corpus.
+        # Small-batch path (the batch ≪ corpus steady state): a numpy
+        # sorted-array membership probe over the STORED band scan, instead
+        # of a BroadcastHashJoin of the batch band rows. The hash-relation
+        # build of ~2.6M entries is single-threaded on the driver and cost
+        # ~2.3 s per wave — and Spark REBUILDS it for every action that
+        # re-executes the plan — where collecting the batch's packed
+        # (key, band) int64s and searchsorted-probing the stored scan
+        # map-side costs ~1 s once (same transport pattern as the
+        # frontier's Bloom broadcast tier, but exact). The stored table is
+        # still never shuffled; the probe is a map over its parquet scan.
+        # Above the gate (batch no longer ≪ corpus) the plain shuffle
+        # join is the right plan.
         if n_batch is not None and n_batch * dedup.N_BANDS <= BROADCAST_BAND_ROW_BUDGET:
-            batch_bd = F.broadcast(batch_bd)
-        cand = (
-            batch_bd.alias("n")
-            .join(
-                stored_bd.alias("o"),
-                (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+            import numpy as np
+
+            ck_expr = (F.col("key").cast("long") * 64 + F.col("band")).alias("ck")
+            arr = np.unique(batch_bd.select(ck_expr).toPandas()["ck"].to_numpy())
+            bc = self.spark.sparkContext.broadcast(arr)
+            if caches is not None:
+                # Broadcast.unpersist shares the DataFrame spelling, so the
+                # looping caller's cleanup loop releases it wave-by-wave
+                caches.append(bc)
+
+            def probe(it):
+                a = bc.value
+                for p in it:
+                    if a.size == 0 or len(p) == 0:
+                        yield p.iloc[0:0]
+                        continue
+                    # shift+add, not multiply: signed-int64 numpy multiply
+                    # is pathologically slow on some platforms (MEMORY.md)
+                    ck = (p["key"].to_numpy().astype(np.int64) << np.int64(6)) + p[
+                        "band"
+                    ].to_numpy()
+                    i = np.searchsorted(a, ck)
+                    i[i == a.size] = 0
+                    yield p[a[i] == ck]
+
+            matched_bd = stored_bd.mapInPandas(probe, stored_bd.schema)
+            # matched_bd ∝ colliding band rows (∝ true dups × bands) — the
+            # small side by construction; its broadcast build is trivial
+            cand = (
+                F.broadcast(matched_bd)
+                .alias("o")
+                .join(
+                    batch_bd.alias("n"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.key") == F.col("o.key")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("orig_id")
+                )
+                .distinct()
             )
-            .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("orig_id"))
-            .distinct()
-        )
+        else:
+            cand = (
+                batch_bd.alias("n")
+                .join(
+                    stored_bd.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.key") == F.col("o.key")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("orig_id")
+                )
+                .distinct()
+            )
         cand = dedup._broadcast_if_small(cand, caches=caches)
-        # verification: only MATCHED stored docs are read and re-shingled
+        # verification: only MATCHED docs — on BOTH sides — are re-shingled
+        # (grams are derived per candidate, ∝ true dups; the batch's grams
+        # are not kept in the prepared cache at all — shipping every gram
+        # string across the Arrow boundary cost more than the whole
+        # signature arithmetic)
         matched = cand.select(F.col("orig_id").alias("doc_id")).distinct()
         orig_sh = _widen(
             stored_docs.join(matched, "doc_id", "left_semi"), self.spark
         ).select("doc_id", dedup.word_ngrams_fast(F.col("text")).alias("grams"))
-        ga = fused.select(F.col("doc_id").alias("new_id"), F.col("grams").alias("grams_a"))
+        new_matched = cand.select(F.col("new_id").alias("doc_id")).distinct()
+        ga = fused.join(new_matched, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("new_id"),
+            dedup.word_ngrams_fast(F.col("text")).alias("grams_a"),
+        )
         gb = orig_sh.select(F.col("doc_id").alias("orig_id"), F.col("grams").alias("grams_b"))
         j = F.col("inter").cast("double") / (
             F.col("na") + F.col("nb") - F.col("inter")

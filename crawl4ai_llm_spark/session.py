@@ -65,7 +65,12 @@ def get_spark(
         #     rules/host tables) should always broadcast ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode the driver JVM IS the executor: 32 task threads +
+        # caches + broadcasts share this heap. 8g showed GC/mmap churn at
+        # 100k-doc crawl waves (content-dedup leg: match 0.246 → 0.187
+        # ms/doc just from raising it); the sandbox grants 128 GiB. On a
+        # real cluster executor memory comes from spark-submit instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

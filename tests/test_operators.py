@@ -153,8 +153,8 @@ def test_incremental_reads_persisted_index(spark, tmp_path):
 
     wh = str(tmp_path / "dedup_idx")
     acc = spark.sparkContext.accumulator(0)
-    old_udf, old_counter = dedup._sig_udf, dedup._SIG_ROWS_COUNTER
-    dedup._sig_udf, dedup._SIG_ROWS_COUNTER = None, acc
+    old_udf, old_tudf, old_counter = dedup._sig_udf, dedup._text_sig_udf, dedup._SIG_ROWS_COUNTER
+    dedup._sig_udf, dedup._text_sig_udf, dedup._SIG_ROWS_COUNTER = None, None, acc
     try:
         idx = DedupIndex(spark, wh)
         idx.ingest_documents(corpus)
@@ -177,7 +177,7 @@ def test_incremental_reads_persisted_index(spark, tmp_path):
             out.explain("formatted")
         assert "dedup_idx" in buf.getvalue() and "minhash_bands" in buf.getvalue()
     finally:
-        dedup._sig_udf, dedup._SIG_ROWS_COUNTER = old_udf, old_counter
+        dedup._sig_udf, dedup._text_sig_udf, dedup._SIG_ROWS_COUNTER = old_udf, old_tudf, old_counter
 
 
 def test_sign_band_fast_matches_spec(spark):

@@ -81,6 +81,14 @@ def run_leg(spark, scale: int, dedup_on: bool) -> dict:
             if dedup_on and not eng.dup_pairs.is_empty()
             else 0
         )
+        # DIRECT phase attribution (engine.wave_marks): the dedup cost is
+        # the serial match phase plus whatever it adds to the commit pool —
+        # robust to the box-state variance that can swamp an off/on wall
+        # subtraction (measured 2-5x run swings on this sandbox)
+        match_wall = sum(m.get("content_dedup_match", 0.0) for m in eng.wave_marks.values())
+        commit_wall = sum(
+            m.get("table_commits+filter_delta", 0.0) for m in eng.wave_marks.values()
+        )
     du, ds = u1 - u0, s1 - s0
     return {
         "scale": scale,
@@ -92,6 +100,9 @@ def run_leg(spark, scale: int, dedup_on: bool) -> dict:
         "wall_sec": round(wall, 1),
         "urls_per_sec": round(n_urls / wall, 1),
         "dup_pairs": n_pairs,
+        "match_wall_sec": round(match_wall, 1),
+        "match_ms_per_doc": round(1000 * match_wall / max(1, n_docs), 3),
+        "commit_wall_sec": round(commit_wall, 1),
         "run_sys_frac": round(ds / max(1, du + ds), 3),
     }
 
@@ -105,12 +116,38 @@ def main() -> None:
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
     if "--quick" in sys.argv:
         scales = [1]
+    import bench  # repo-root bench.py: the fixed-work hardware-state anchor
+
+    def wait_healthy(limit_min: float = 20.0) -> dict:
+        """Poll the fixed-work anchor until the box leaves its degraded
+        kernel-time state (sys share < 0.25; windows of 0.5-0.9 come and
+        go on ~10-min scales on this sandbox, independent of our load).
+        Gives up after limit_min and stamps the leg with what it saw."""
+        t0 = time.time()
+        while True:
+            ctl = bench.cpu_state_control()
+            if ctl["allcore_sys_frac"] < 0.25 or time.time() - t0 > limit_min * 60:
+                return ctl
+            print(
+                f"# box degraded (allcore_sys_frac={ctl['allcore_sys_frac']}), waiting",
+                flush=True,
+            )
+            time.sleep(45)
+
     spark = get_spark(app_name="bench_crawl_fatwave")
+    bench.cpu_state_control()  # throwaway: the first control in a fresh
+    # process reads degraded while the JVM warms (measured 0.95 → 0.01)
     rows = []
     for scale in scales:
         legs = {}
         for dedup_on in (False, True):
+            # fixed-work control BEFORE the leg: the leg's own in-run sys
+            # share is workload-colored (dedup waves intrinsically run
+            # ~0.3), so degradation is judged from this anchor instead
+            ctl = wait_healthy()
             r = run_leg(spark, scale, dedup_on)
+            r["pre_leg_allcore_sys_frac"] = ctl["allcore_sys_frac"]
+            r["pre_leg_allcore_sec"] = ctl["allcore_sec"]
             legs[dedup_on] = r
             print(json.dumps(r), flush=True)
         off, on = legs[False], legs[True]
@@ -126,8 +163,26 @@ def main() -> None:
                 "throughput_cost_pct": round(
                     100 * (1 - on["urls_per_sec"] / off["urls_per_sec"]), 1
                 ),
+                # direct attribution: serial match phase + commit-pool delta
+                # (off-leg commit wall as the baseline) — the A/B columns
+                # above inherit BOTH legs' box noise; these inherit only the
+                # on-leg's
+                "match_wall_sec": on["match_wall_sec"],
+                "match_ms_per_doc": on["match_ms_per_doc"],
+                "commit_delta_sec": round(
+                    on["commit_wall_sec"] - off["commit_wall_sec"], 1
+                ),
+                "direct_cost_pct": round(
+                    100
+                    * (on["match_wall_sec"] + on["commit_wall_sec"] - off["commit_wall_sec"])
+                    / max(0.1, on["wall_sec"]),
+                    1,
+                ),
                 "dup_pairs": on["dup_pairs"],
                 "worst_sys_frac": max(off["run_sys_frac"], on["run_sys_frac"]),
+                "worst_pre_leg_ctl": max(
+                    off["pre_leg_allcore_sys_frac"], on["pre_leg_allcore_sys_frac"]
+                ),
             }
         )
     print(json.dumps({"summary": rows}))
