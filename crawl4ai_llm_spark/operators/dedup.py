@@ -520,14 +520,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     verification over FULL gram sets (no df-cap — that is the ngram tier's
     candidate-generation policy; on this corpus the outputs coincide, and
     each tier's oracle states its own semantics), built without the
-    all-pairs shingle join. ONE fused cache (doc_id, grams, sig) feeds the
-    band self-join (sig, both sides) AND verification (grams) — without it
-    the Arrow shingle+signature chain runs per consumer (measured 2.7× on
-    the sf0.1 bench), and the r03 two-stacked-caches shape paid an extra
-    cache materialization on the cold path."""
-    fused = with_minhash_sig(doc_shingles(spark, sf)).cache()
+    all-pairs shingle join. ONE fused cache (doc_id, text, sig) feeds the
+    band self-join (sig, both sides) AND verification; grams are
+    re-derived ONLY for docs that appear in a candidate pair (∝ true
+    dups) — the earlier fused-grams cache shipped every gram string
+    across the Arrow boundary and held them JVM-side, which profiling
+    showed cost more than the whole signature arithmetic
+    (with_text_sig docstring)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if estimated_scan_partitions(docs) < par:
+        docs = docs.repartition(par)
+    fused = with_text_sig(docs).cache()
     cand = lsh_candidates(fused.select("doc_id", "sig"))
-    return _jaccard_pairs(fused.select("doc_id", "grams"), JACCARD_TAU, candidates=cand)
+    cand = _broadcast_if_small(cand)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = fused.join(ids, "doc_id", "left_semi").select(
+        "doc_id", word_ngrams_fast(F.col("text")).alias("grams")
+    )
+    return _jaccard_pairs(sh, JACCARD_TAU, candidates=cand)
 
 
 def _index_warehouse(sf: str, kind: str) -> str:

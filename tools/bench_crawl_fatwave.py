@@ -15,9 +15,13 @@ Expected shape: the absolute dedup overhead per wave grows ∝ wave bytes
 only through the signature pass, so overhead/wall falls as waves fatten;
 the ≤15% target at the largest size is the acceptance line VERDICT set.
 
-Usage: python tools/bench_crawl_fatwave.py [--quick] [--scales 1,2,4]
-Writes one JSON line per leg + a final summary JSON line; healthy-box
-evidence for BENCH.md's r06 table.
+Usage: python tools/bench_crawl_fatwave.py [--quick] [--scales=1,2,4]
+                                           [--latency=MS]
+`--latency` runs both legs under the engine's async-pool fetch model
+(2048 concurrent request slots, MS per request) — the politeness-bound
+wall a production crawler actually runs at; the default 0 is the
+instant-fetch worst case. Writes one JSON line per leg + a final
+summary JSON line; healthy-box evidence for BENCH.md's r06 table.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ def _cpu_jiffies() -> tuple[int, int]:
     return int(parts[1]) + int(parts[2]), int(parts[3])
 
 
-def run_leg(spark, scale: int, dedup_on: bool) -> dict:
+def run_leg(spark, scale: int, dedup_on: bool, latency_ms: float = 0.0) -> dict:
     from crawl4ai_llm_spark.frontier import webgraph as wg
     from crawl4ai_llm_spark.frontier.engine import CrawlConfig, FrontierEngine
 
@@ -66,6 +70,11 @@ def run_leg(spark, scale: int, dedup_on: bool) -> dict:
         graph=spec,
         content_dedup=dedup_on,
         content_dedup_policy="flag",
+        # --latency mode: the engine's async-pool fetch model (each Arrow
+        # batch sleeps len*latency/async_concurrency) — the
+        # politeness-bound wall a production crawler actually runs at,
+        # vs the instant-fetch worst case at the default 0
+        fetch_latency_ms=latency_ms,
     )
     with tempfile.TemporaryDirectory() as tmp:
         eng = FrontierEngine(spark, tmp, cfg)
@@ -93,6 +102,7 @@ def run_leg(spark, scale: int, dedup_on: bool) -> dict:
     return {
         "scale": scale,
         "content_dedup": dedup_on,
+        "fetch_latency_ms": latency_ms,
         "urls": n_urls,
         "docs": n_docs,
         "waves": waves,
@@ -111,9 +121,12 @@ def main() -> None:
     from crawl4ai_llm_spark.session import get_spark
 
     scales = [1, 2, 4]
+    latency_ms = 0.0
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--latency"):
+            latency_ms = float(a.split("=", 1)[1])
     if "--quick" in sys.argv:
         scales = [1]
     import bench  # repo-root bench.py: the fixed-work hardware-state anchor
@@ -137,6 +150,19 @@ def main() -> None:
     spark = get_spark(app_name="bench_crawl_fatwave")
     bench.cpu_state_control()  # throwaway: the first control in a fresh
     # process reads degraded while the JVM warms (measured 0.95 → 0.01)
+    # JVM/JIT warm-up crawl, unrecorded: the first leg of a fresh JVM
+    # otherwise runs ~30% slow (measured 86 s vs 58 s for the identical
+    # scale-1 off leg), which biases the first A/B pair
+    from crawl4ai_llm_spark.frontier import webgraph as _wg
+    from crawl4ai_llm_spark.frontier.engine import CrawlConfig as _CC
+    from crawl4ai_llm_spark.frontier.engine import FrontierEngine as _FE
+
+    _spec = _wg.GraphSpec(n_hosts=40, pages_per_host=200, seed="warmup")
+    with tempfile.TemporaryDirectory() as _tmp:
+        _FE(spark, _tmp, _CC(wave_seconds=3600.0, max_depth=3, max_waves=4,
+                             graph=_spec, content_dedup=True,
+                             content_dedup_policy="flag")).run(
+            seeds=_wg.seed_urls(_spec, n_seeds=40))
     rows = []
     for scale in scales:
         legs = {}
@@ -145,7 +171,7 @@ def main() -> None:
             # share is workload-colored (dedup waves intrinsically run
             # ~0.3), so degradation is judged from this anchor instead
             ctl = wait_healthy()
-            r = run_leg(spark, scale, dedup_on)
+            r = run_leg(spark, scale, dedup_on, latency_ms=latency_ms)
             r["pre_leg_allcore_sys_frac"] = ctl["allcore_sys_frac"]
             r["pre_leg_allcore_sec"] = ctl["allcore_sec"]
             legs[dedup_on] = r
