@@ -644,8 +644,9 @@ class FrontierEngine:
 
         def commit_docs():
             out = results.where(F.col("ok"))
-            # policy check FIRST: in flag mode n_dups is being assigned on
-            # commit_content_dedup's thread while this one runs
+            # n_dups is finalized SERIALLY (pairs.count() above) before the
+            # commit pool starts; checking policy first here is just
+            # belt-and-braces ordering, not a cross-thread dependency
             if cfg.content_dedup_policy == "skip" and pairs is not None and n_dups:
                 out = out.join(
                     pairs.select(F.col("new_id").alias("url")).distinct(), "url", "left_anti"
@@ -886,7 +887,27 @@ class FrontierEngine:
                 # table's FIRST-ever write — reset to empty (rollback cannot
                 # rewind past snapshot 1)
                 tbl.truncate(counters={"wave": committed})
+        self._migrate_legacy_docs(committed)
         return committed
+
+    def _migrate_legacy_docs(self, committed: int) -> None:
+        """Backfill the row-level ``wave`` column on a pre-wave warehouse.
+
+        Docs written before the wave column existed (pre-r06) have no
+        recrawl history — each doc_id appears once — so a constant
+        backfill with the committed wave is exact for the column's one
+        consumer ("latest fetch per doc_id" in rebuild_content_index)
+        and unblocks the schema-matched appends of resumed waves."""
+        snap = self.docs.current_snapshot()
+        if snap is None:
+            return
+        docs = self.docs.read()
+        if docs is None or "wave" in docs.columns:
+            return
+        self.docs.overwrite(
+            docs.withColumn("wave", F.lit(committed)),
+            counters={"wave": committed, "legacy_wave_backfill": 1},
+        )
 
     def compact_tables(
         self,

@@ -321,6 +321,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes (runs of
+        # 0xFF) — skip them so 0xFF is never misread as a marker code
+        while pos < len(data) - 1 and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

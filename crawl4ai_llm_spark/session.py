@@ -20,6 +20,29 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_memory() -> str:
+    """Driver heap sized from the host, not from the sandbox's 128 GiB.
+
+    local-mode the driver JVM IS the executor (task threads + caches +
+    broadcasts share one heap), so more helps — but a fixed 32g default
+    fails JVM startup or swaps on smaller hosts. Use ~25% of physical
+    RAM, clamped to [2g, 32g]; SPARK_GRAFT_DRIVER_MEM overrides (the
+    bench harness exports 32g on the 128 GiB sandbox).
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(32, int(total_gib // 4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "crawl4ai_llm_spark",
     master: str | None = None,
@@ -65,12 +88,11 @@ def get_spark(
         #     rules/host tables) should always broadcast ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        # local-mode the driver JVM IS the executor: 32 task threads +
-        # caches + broadcasts share this heap. 8g showed GC/mmap churn at
-        # 100k-doc crawl waves (content-dedup leg: match 0.246 → 0.187
-        # ms/doc just from raising it); the sandbox grants 128 GiB. On a
+        # 8g showed GC/mmap churn at 100k-doc crawl waves (content-dedup
+        # leg: match 0.246 → 0.187 ms/doc just from raising it); sized
+        # from physical RAM so the default works off-sandbox too. On a
         # real cluster executor memory comes from spark-submit instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

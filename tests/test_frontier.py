@@ -133,6 +133,34 @@ def test_resume_equals_uninterrupted(spark, tmp_path, oracle):
     assert "junk" not in {r["doc_id"] for r in eng2.docs.read().select("doc_id").collect()}
 
 
+def test_resume_backfills_legacy_docs_wave_column(spark, tmp_path):
+    """A warehouse written before docs carried the row-level ``wave``
+    column (pre-r06) must resume: the column is backfilled with the
+    committed wave (exact for the legacy case — no recrawl history, one
+    row per doc_id) and subsequent wave appends schema-match."""
+    wh = str(tmp_path / "legacy_wh")
+    cfg = CrawlConfig(
+        delay=CFG["delay"], wave_seconds=CFG["wave_seconds"],
+        max_retries=CFG["max_retries"], max_depth=CFG["max_depth"],
+        max_waves=2, graph=SPEC,
+    )
+    eng = FrontierEngine(spark, wh, cfg)
+    eng.run(seeds=SEEDS)
+    committed = eng.last_committed_wave()
+    # forge the legacy layout: same rows, no wave column
+    legacy = eng.docs.read().drop("wave")
+    eng.docs.overwrite(legacy, counters={"wave": committed})
+
+    eng2 = FrontierEngine(spark, wh, CrawlConfig(**{**cfg.__dict__, "max_waves": 4}))
+    assert eng2.resume() == committed
+    migrated = eng2.docs.read()
+    assert "wave" in migrated.columns
+    assert migrated.where(F.col("wave") != committed).count() == 0
+    # the resumed crawl appends cleanly against the migrated schema
+    eng2.run(seeds=None, max_waves=4)
+    assert eng2.docs.read().where(F.col("wave") > committed).count() > 0
+
+
 def test_partitioned_bloom_probe_matches_broadcast(spark):
     """The executor-resident (cogrouped) Bloom tier must agree bit-for-bit
     with the broadcast tier: same bitmaps, same maybe_seen output."""

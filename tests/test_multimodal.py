@@ -116,6 +116,39 @@ def test_jpeg_baseline_roundtrip_within_idct_tolerance():
     assert codecs.decode_any(broken) is None or True  # must not raise
 
 
+def test_jpeg_marker_fill_bytes_tolerated():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes. Foreign encoders emit them; self-encoded files don't — inject
+    fill runs before every marker and require identical pixels."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 / h), (xx * 255 / w), ((yy * xx) % 256)], axis=2
+    ).astype(np.uint8)
+    data = encode_jpeg(img, quality=90)
+    want = decode_jpeg(data)
+    # rewrite the marker stream with 1-3 fill bytes before each marker
+    # segment header (never inside entropy-coded data: stop at SOS)
+    out = bytearray(data[:2])
+    pos, fills = 2, 0
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        out += b"\xff" * (1 + fills % 3)
+        fills += 1
+        if marker == 0xDA:  # SOS: copy header + entropy data verbatim
+            out += data[pos:]
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        out += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert np.array_equal(decode_jpeg(bytes(out)), want)
+
+
 def test_jpeg_random_images_and_edge_sizes():
     """Seeded random images at every awkward size (1x1 up, non-multiples
     of 8/16, gray + color, with and without subsampling): shape always

@@ -405,3 +405,19 @@ def test_minhash_candidates_superset_of_true_pairs(spark, sf_dir):
     }
     assert true_pairs <= cand
     sh.unpersist()
+
+
+def test_default_driver_memory_clamped_to_host(monkeypatch):
+    """ADVICE r06: the driver-heap default must not bake in the 128 GiB
+    sandbox — env override wins, otherwise ~25% of physical RAM clamped
+    to [2g, 32g]."""
+    import re
+
+    from crawl4ai_llm_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "5g")
+    assert S._default_driver_memory() == "5g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    got = S._default_driver_memory()
+    assert re.fullmatch(r"\d+g", got)
+    assert 2 <= int(got[:-1]) <= 32
