@@ -136,6 +136,18 @@ CHECKS = {
             (r"CartesianProduct", "no cartesian (probe expansion is per-query rows, not a cross join)"),
         ],
     },
+    "q_ann_ivf": {
+        "build": lambda q, spark: __import__(
+            "crawl4ai_llm_spark.operators.similarity", fromlist=["q"]
+        ).q_ann_ivf(spark, SF),
+        # NOTE the centroid fan-out is a broadcast nested-loop BY DESIGN:
+        # 16 centroid rows against the corpus is |corpus|×16 map-side
+        # distance folds, not an all-pairs risk. The scale-sensitive join
+        # is the probed-cell candidate join, which must stay an equi-join.
+        "expect": [
+            (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "probed-cell candidates from a cell equi-join"),
+        ],
+    },
     # the pair generator q_dedup_clusters actually executes (the cluster
     # assignment itself materializes via count/collect, so its own plan is
     # a LocalTableScan — the pair SOURCE is where the scale risk lives)
