@@ -332,3 +332,65 @@ def test_jpeg_noninterleaved_baseline_scans():
         ni = decode_jpeg(encode_jpeg(img, interleave=False, **kw))
         il = decode_jpeg(encode_jpeg(img, **kw))
         assert np.array_equal(ni, il), (i, h, w, c, sub, ri)
+
+
+def test_avi_mjpeg_frame_sampling_pure_python(spark):
+    """VERDICT r06 #4: sample_frames works on an AVI/MJPEG payload with
+    no libav — the RIFF demuxer (multimodal/avi.py) + the existing JPEG
+    codec. Round trip: encode frames → mux → sample → demuxed bytes are
+    the exact muxed JPEGs → decode_jpeg recovers the pixels."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import avi as avimod
+    from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    # 10 distinguishable frames at 5 fps → 2000 ms of video
+    frames_px = [
+        np.full((16, 24, 3), (10 + 23 * i) % 256, np.uint8) for i in range(10)
+    ]
+    jpegs = [encode_jpeg(px, quality=95) for px in frames_px]
+    payload = avimod.encode_avi_mjpeg(jpegs, width=24, height=16, fps=5)
+
+    # container parses standalone
+    stream = avimod.parse_avi(payload)
+    assert (stream.width, stream.height, stream.codec) == (24, 16, "MJPG")
+    assert stream.n_frames == 10 and stream.duration_ms == 2000
+    assert stream.frames == jpegs  # byte-exact demux
+
+    rows = [
+        ("vid0", "video", bytearray(payload),
+         {"width": 24, "height": 16, "duration_ms": 2000, "codec": "MJPG"}),
+        ("alien", "video", bytearray(b"\x00\x01not-a-container" * 20),
+         {"width": 0, "height": 0, "duration_ms": 500, "codec": "h264"}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_frames(media, every_ms=600).collect()
+
+    vid = sorted((r for r in got if r["media_id"] == "vid0"), key=lambda r: r["frame_ts_ms"])
+    # t = 0, 600, 1200, 1800 → frames 0, 3, 6, 9 at 5 fps
+    assert [r["frame_ts_ms"] for r in vid] == [0, 600, 1200, 1800]
+    for r, idx in zip(vid, (0, 3, 6, 9)):
+        assert bytes(r["frame"]) == jpegs[idx]
+        out = decode_jpeg(bytes(r["frame"]))
+        assert np.abs(out.astype(int) - frames_px[idx].astype(int)).max() <= 4
+    # foreign container degrades per-row, never job-fatally
+    alien = [r for r in got if r["media_id"] == "alien"]
+    assert len(alien) == 1 and alien[0]["frame"] is None
+
+
+def test_avi_word_alignment_with_odd_frame_sizes():
+    """RIFF chunks are word-aligned: odd-length JPEG frames force pad
+    bytes, which the demuxer must step over without desync."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import avi as avimod
+
+    # hand-rolled odd/even length "frames" (demux never inspects bytes)
+    fr = [b"\xff\xd8" + bytes(range(i + 1)) + b"\xff\xd9" for i in range(5)]
+    assert any(len(f) % 2 for f in fr) and any(len(f) % 2 == 0 for f in fr)
+    payload = avimod.encode_avi_mjpeg(fr, width=8, height=8, fps=10)
+    stream = avimod.parse_avi(payload)
+    assert stream.frames == fr
+    assert [avimod.sample_frame_indices(stream, 100)[i] for i in range(5)] == [
+        (0, 0), (100, 1), (200, 2), (300, 3), (400, 4)
+    ]
