@@ -188,23 +188,28 @@ class Table:
     def _next_id(self, parent: Snapshot | None) -> int:
         return (parent.snapshot_id + 1) if parent else 1
 
-    def _write_pylist(self, rows: list[dict]) -> str:
+    def _write_pylist(self, rows: list[dict], schema=None) -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "part-0.parquet")
-        pq.write_table(pa.Table.from_pylist(rows), path)
+        # explicit schema when the table is ALSO written by Spark jobs:
+        # from_pylist infers int64 where Spark wrote int32, and mixed
+        # physical types across files break the table's schema merge
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
         return path
 
     def append_pylist(
-        self, rows: list[dict], counters: dict[str, int] | None = None
+        self, rows: list[dict], counters: dict[str, int] | None = None, schema=None
     ) -> Snapshot:
         """Append a small driver-side row list WITHOUT a Spark job — one
-        pyarrow parquet write. For metadata-sized tables (checkpoints):
-        launching a distributed job to write 16 rows is pure latency."""
-        path = self._write_pylist(rows)
+        pyarrow parquet write. For metadata-sized tables (checkpoints,
+        per-wave dup pairs): launching a distributed job to write a few
+        rows is pure latency. ``schema``: optional pyarrow schema, needed
+        when Spark jobs also write this table (physical-type parity)."""
+        path = self._write_pylist(rows, schema=schema)
         parent = self.current_snapshot()
         snap = Snapshot(
             self._next_id(parent),

@@ -228,6 +228,36 @@ class FrontierEngine:
             " ",
         )
 
+    def _read_doc_texts(self, doc_ids: list) -> dict:
+        """Driver-side pyarrow read of a FEW docs' texts by id — the
+        match driver tier's orig-side lookup: a filter-pushdown scan of
+        the docs table's parquet files costs ~0.07 s where the
+        equivalent Spark filter-collect job measured 1.1 s (per-action
+        scheduling, not bytes). Text rule == _spans_text exactly:
+        text-kind span texts joined with ' ' in span order, nulls
+        skipped (array_join semantics). Multiple rows per doc_id
+        (recrawl before rebuild_content_index): last row in append
+        order wins — the latest fetch."""
+        import pyarrow.dataset as pads
+
+        snap = self.docs.current_snapshot()
+        if snap is None or not snap.files:
+            return {}
+        tbl = pads.dataset(snap.files).to_table(
+            columns=["doc_id", "spans"],
+            filter=pads.field("doc_id").isin(doc_ids),
+        )
+        out: dict = {}
+        for did, spans in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("spans").to_pylist()
+        ):
+            out[did] = " ".join(
+                s["text"]
+                for s in (spans or [])
+                if s["kind"] == "text" and s["text"] is not None
+            )
+        return out
+
     def robots_df(self) -> DataFrame:
         """Tiny host→rules dimension — always broadcast (C7)."""
         if self._robots_df is None:
@@ -599,7 +629,8 @@ class FrontierEngine:
 
         # --- content near-dup match (backward-only: wave docs vs the index
         # as of wave-1 — ingest happens in the commit phase below) ---
-        pairs = None
+        pairs = None  # distributed-tier pair DataFrame (fallback path)
+        driver_pairs = None  # driver-tier pair row list (steady-state path)
         n_dups = 0
         dup_caches: list = []
         wave_docs = None
@@ -611,46 +642,63 @@ class FrontierEngine:
             )
             # ONE signature pass per wave, shared by the match and the
             # commit-phase ingest (it ran twice before — the single
-            # largest slice of the per-wave dedup cost), and the wave's
-            # band rows broadcast into the stored-table join (n_fetched
-            # gates it), so the growing stored band table is scanned
-            # map-side, never shuffled.
-            wave_prepared = idx.prepare_batch(wave_docs).cache()
+            # largest slice of the per-wave dedup cost).
+            # widen=False: results is already fetch-width (explicit
+            # repartition before mapInPandas) — the default gate-repartition
+            # re-shuffled every wave's texts for nothing
+            wave_prepared = idx.prepare_batch(wave_docs, widen=False).cache()
             dup_caches.append(wave_prepared)
             stored = self.docs.read()
             if stored is not None and not idx.minhash_bands.is_empty():
                 stored_text = stored.select(
                     "doc_id", self._spans_text(F.col("spans")).alias("text")
                 )
-                pairs = idx.match_documents(
-                    wave_docs, stored_text, tau=cfg.content_dedup_tau,
-                    caches=dup_caches, prepared=wave_prepared, n_batch=n_fetched,
-                ).cache()
-                dup_caches.append(pairs)
-                # materialize SERIALLY, before the commit pool: deferring
-                # this count into commit_content_dedup's thread (to overlap
-                # the other commits) was tried and measured 60% SLOWER end
-                # to end on this box — the match is CPU-dense (signature
-                # UDF + band join), and running it concurrently with five
-                # other 32-task jobs explodes system time (the sandbox's
-                # documented concurrent-load pathology). On a real cluster
-                # with excess executor slots the overlap would win; the
-                # serial order is also what pins backward-only semantics
-                # without relying on plan-build timing.
-                n_dups = pairs.count()
+                # Driver tier first (VERDICT r06 #1): three map-only jobs
+                # + driver numpy, vs the distributed verify's ~6-stage
+                # chain — the chain's per-stage scheduling constant, not
+                # bytes, was the wave wall at sandbox wave sizes. Runs
+                # SERIALLY before the commit pool either way (deferring
+                # the match into the pool was measured 60% slower: the
+                # sandbox's documented concurrent-load pathology).
+                dedup_timings: dict = {}
+                driver_pairs = idx.match_documents_driver(
+                    stored_text, tau=cfg.content_dedup_tau,
+                    prepared=wave_prepared, n_batch=n_fetched, caches=dup_caches,
+                    orig_texts=self._read_doc_texts, timings=dedup_timings,
+                )
+                for k_, v_ in dedup_timings.items():
+                    marks.append((f"dedup.{k_}", v_))
+                if driver_pairs is None:  # a driver-size gate tripped
+                    pairs = idx.match_documents(
+                        wave_docs, stored_text, tau=cfg.content_dedup_tau,
+                        caches=dup_caches, prepared=wave_prepared, n_batch=n_fetched,
+                    ).cache()
+                    dup_caches.append(pairs)
+                    n_dups = pairs.count()
+                else:
+                    n_dups = len(driver_pairs)
             mark("content_dedup_match")
+        dup_new_ids = (
+            sorted({p["new_id"] for p in driver_pairs}) if driver_pairs else []
+        )
 
         from concurrent.futures import ThreadPoolExecutor
 
         def commit_docs():
             out = results.where(F.col("ok"))
-            # n_dups is finalized SERIALLY (pairs.count() above) before the
+            # n_dups is finalized SERIALLY (the match above) before the
             # commit pool starts; checking policy first here is just
             # belt-and-braces ordering, not a cross-thread dependency
-            if cfg.content_dedup_policy == "skip" and pairs is not None and n_dups:
-                out = out.join(
-                    pairs.select(F.col("new_id").alias("url")).distinct(), "url", "left_anti"
-                )
+            if cfg.content_dedup_policy == "skip" and n_dups:
+                if driver_pairs:
+                    # InSet filter, no join stage (ids bounded by the
+                    # driver-tier doc budget)
+                    out = out.where(~F.col("url").isin(dup_new_ids))
+                elif pairs is not None:
+                    out = out.join(
+                        pairs.select(F.col("new_id").alias("url")).distinct(),
+                        "url", "left_anti",
+                    )
             # row-level wave tag: snapshot counters carry the wave too, but
             # compaction rewrites files and mixes waves — the column is what
             # makes "latest fetch per doc_id" (the recrawl path) expressible
@@ -664,19 +712,41 @@ class FrontierEngine:
         def commit_content_dedup():
             if not cfg.content_dedup:
                 return
-            if pairs is not None and n_dups:
-                self.dup_pairs.append(
-                    pairs.select(
-                        F.lit(wave).alias("wave"), "new_id", "orig_id", "jaccard"
-                    ).coalesce(1),
-                    counters=wave_tag,
-                )
+            if n_dups:
+                if driver_pairs:
+                    # pairs are already driver-side rows: one pyarrow
+                    # write, NO Spark job in this pool slot for the audit
+                    import pyarrow as pa
+
+                    self.dup_pairs.append_pylist(
+                        [{"wave": wave, **p} for p in driver_pairs],
+                        counters=wave_tag,
+                        schema=pa.schema(
+                            [
+                                ("wave", pa.int32()),
+                                ("new_id", pa.string()),
+                                ("orig_id", pa.string()),
+                                ("jaccard", pa.float64()),
+                            ]
+                        ),
+                    )
+                elif pairs is not None:
+                    self.dup_pairs.append(
+                        pairs.select(
+                            F.lit(wave).alias("wave"), "new_id", "orig_id", "jaccard"
+                        ).coalesce(1),
+                        counters=wave_tag,
+                    )
             ingest = wave_docs
             prepared = wave_prepared
-            if pairs is not None and n_dups and cfg.content_dedup_policy == "skip":
-                skipped = pairs.select(F.col("new_id").alias("doc_id")).distinct()
-                ingest = wave_docs.join(skipped, "doc_id", "left_anti")
-                prepared = wave_prepared.join(skipped, "doc_id", "left_anti")
+            if n_dups and cfg.content_dedup_policy == "skip":
+                if driver_pairs:
+                    ingest = wave_docs.where(~F.col("doc_id").isin(dup_new_ids))
+                    prepared = wave_prepared.where(~F.col("doc_id").isin(dup_new_ids))
+                elif pairs is not None:
+                    skipped = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+                    ingest = wave_docs.join(skipped, "doc_id", "left_anti")
+                    prepared = wave_prepared.join(skipped, "doc_id", "left_anti")
             self.dedup_index().ingest_documents(
                 ingest, counters=wave_tag, prepared=prepared
             )

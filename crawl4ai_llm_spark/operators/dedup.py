@@ -473,22 +473,31 @@ def with_text_sig(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).where(F.col("sig").isNotNull())
 
 
+def band_key_cols(sig_col: str = "sig") -> list:
+    """The 32 per-band key expressions (murmur3 of each band's 4 signature
+    mins) — the ONE definition of a band key, shared by band_rows (the
+    stored layout) and the driver-tier match's doc-major collect so the
+    two can never disagree."""
+    return [
+        F.hash(
+            *[
+                F.element_at(sig_col, b * ROWS_PER_BAND + r + 1)
+                for r in range(ROWS_PER_BAND)
+            ]
+        )
+        for b in range(N_BANDS)
+    ]
+
+
 def band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band, key) rows — one per signature band (32 bands × 4
     rows hashed to a key). This is the layout the STORED side of
     incremental dedup keeps on disk: appended at ingest, equi-joined by
     every arriving batch."""
+    keys = band_key_cols()
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[
-                        F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                        for r in range(ROWS_PER_BAND)
-                    ]
-                ).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
             for b in range(N_BANDS)
         ]
     )
@@ -588,7 +597,11 @@ def ensure_text_index(spark: SparkSession, sf: str) -> "DedupIndex":
 
     idx = DedupIndex(spark, _index_warehouse(sf, "text"))
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    idx.sync_documents(docs, tags={"src_fp": _source_fingerprint(docs)})
+    # exposed so bench.py can stamp the artifact fresh-vs-reused (a scheme
+    # bump silently forcing a re-ingest looked like a regression in r06)
+    idx.last_sync_reingested = idx.sync_documents(
+        docs, tags={"src_fp": _source_fingerprint(docs)}
+    )
     return idx
 
 
@@ -600,7 +613,9 @@ def ensure_embedding_index(spark: SparkSession, sf: str) -> "DedupIndex":
     vecs = load_table(spark, sf, "embeddings").select(
         "vec_id", vx.as_double(F.col("embedding")).alias("v")
     )
-    idx.sync_embeddings(vecs, tags={"src_fp": _source_fingerprint(vecs)})
+    idx.last_sync_reingested = idx.sync_embeddings(
+        vecs, tags={"src_fp": _source_fingerprint(vecs)}
+    )
     return idx
 
 

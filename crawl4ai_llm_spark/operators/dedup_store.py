@@ -61,6 +61,17 @@ SIGN_SCHEME = 2  # 4×16-bit coordinate-sign bands, NaN→sign-bit-set
 # (doc_id, band, key) tuple, 32 per doc.
 BROADCAST_BAND_ROW_BUDGET = 8_000_000
 
+# Driver-tier match gates (match_documents_driver, r07): the steady-state
+# crawl-wave match runs THREE map-only jobs + driver numpy instead of the
+# distributed verify's ~6-stage chain — but only while everything the
+# driver touches stays metadata-sized. PER_PART_PROBE_CAP bounds what one
+# probe partition may return (cap × partitions ≈ worst-case collect,
+# ~200 MB at 32 parts); DRIVER_MATCH_DOC_BUDGET bounds how many matched
+# docs' TEXTS are pulled for verification. Either trip ⇒ the caller falls
+# back to the distributed path, which has no such bounds.
+PER_PART_PROBE_CAP = 200_000
+DRIVER_MATCH_DOC_BUDGET = 20_000
+
 
 def _require_scheme(table: Table, key: str, want: int, what: str) -> None:
     snap = table.current_snapshot()
@@ -71,6 +82,37 @@ def _require_scheme(table: Table, key: str, want: int, what: str) -> None:
             f"{key}={want} — re-ingest the index (band keys from different "
             "schemes silently match nothing)"
         )
+
+
+def _band_member_filter(stored_bd: DataFrame, bc) -> DataFrame:
+    """Rows of the stored band table whose packed key ∈ broadcast array —
+    EXACT membership (numpy searchsorted), evaluated as a boolean pandas
+    UDF so ONLY the packed int64 crosses the Arrow boundary (8 B/row both
+    ways). The previous mapInPandas probe shipped whole rows — doc_id
+    strings dominated: measured 6.1 s vs 1.2 s at 26M stored rows, and
+    the UDF form stays near-flat in corpus size (0.6 → 1.2 s for 4×).
+    The filter itself stays map-side over the parquet scan; matched rows
+    (∝ true dups × bands) are all that leave the JVM afterwards."""
+    import numpy as np
+    import pandas as pd
+
+    def member(ck):  # pd.Series -> pd.Series (no annotations: the module's
+        # `from __future__ import annotations` stringifies them and breaks
+        # pandas_udf signature inspection — same trap as dedup.py)
+        a = bc.value
+        v = ck.to_numpy()
+        if a.size == 0:
+            return pd.Series(np.zeros(len(v), dtype=bool))
+        i = np.searchsorted(a, v)
+        i[i == a.size] = 0
+        return pd.Series(a[i] == v)
+
+    from pyspark.sql.functions import pandas_udf
+
+    # JVM-side packing: key*64 + band, matching the driver's (key << 6) + band
+    return stored_bd.where(
+        pandas_udf(member, "boolean")(F.col("key").cast("long") * 64 + F.col("band"))
+    )
 
 
 def _widen(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -103,7 +145,7 @@ class DedupIndex:
 
     # ------------------------------------------------------------------ ingest
 
-    def prepare_batch(self, batch: DataFrame) -> DataFrame:
+    def prepare_batch(self, batch: DataFrame, widen: bool = True) -> DataFrame:
         """(doc_id, text, sig) fused frame for a batch — THE signature
         pass (one text→sig Arrow pass; gram strings never cross the
         Arrow boundary, dedup.with_text_sig). A caller that both matches
@@ -332,22 +374,7 @@ class DedupIndex:
                 # looping caller's cleanup loop releases it wave-by-wave
                 caches.append(bc)
 
-            def probe(it):
-                a = bc.value
-                for p in it:
-                    if a.size == 0 or len(p) == 0:
-                        yield p.iloc[0:0]
-                        continue
-                    # shift+add, not multiply: signed-int64 numpy multiply
-                    # is pathologically slow on some platforms (MEMORY.md)
-                    ck = (p["key"].to_numpy().astype(np.int64) << np.int64(6)) + p[
-                        "band"
-                    ].to_numpy()
-                    i = np.searchsorted(a, ck)
-                    i[i == a.size] = 0
-                    yield p[a[i] == ck]
-
-            matched_bd = stored_bd.mapInPandas(probe, stored_bd.schema)
+            matched_bd = _band_member_filter(stored_bd, bc)
             # matched_bd ∝ colliding band rows (∝ true dups × bands) — the
             # small side by construction; its broadcast build is trivial
             cand = (
@@ -409,6 +436,207 @@ class DedupIndex:
         return scored.where(j >= tau).select(
             "new_id", "orig_id", F.round(j, 6).alias("jaccard")
         )
+
+    def match_documents_driver(
+        self,
+        stored_docs: DataFrame,
+        tau: float = JACCARD_TAU,
+        *,
+        prepared: DataFrame,
+        n_batch: int,
+        caches: list | None = None,
+        orig_texts=None,
+        timings: dict | None = None,
+    ) -> list[dict] | None:
+        """Driver-tier steady-state match (VERDICT r06 #1): same result
+        rows as ``match_documents`` — (new_id, orig_id, jaccard) at exact
+        full-gram Jaccard ≥ tau — but the per-wave FIXED cost is three
+        map-only Spark jobs instead of the distributed verify's ~6-stage
+        chain (probe → matched-broadcast join → distinct → two semi-joins
+        → gram UDFs → score), whose per-stage scheduling constant — not
+        bytes — dominated the wave wall at sandbox wave sizes:
+
+          job 1  doc-major collect of the batch's 32 band keys through
+                 the shared ``prepared`` cache (materializes it for the
+                 commit-phase ingest, exactly like the old packed-key
+                 collect);
+          job 2  numpy searchsorted membership probe over the STORED band
+                 scan (identical probe as match_documents' small-batch
+                 path), matched rows COLLECTED instead of re-joined —
+                 per-partition capped, sentinel row on overflow;
+          job 3  matched NEW docs' texts filtered out of the prepared
+                 cache — skipped entirely when nothing collided. Matched
+                 ORIG texts come from ``orig_texts(ids) -> {id: text}``
+                 when the caller provides one (the crawl engine passes a
+                 pyarrow pushdown read of the docs table: 0.07 s where
+                 the equivalent Spark filter-collect job measured 1.1 s),
+                 else a pushdown-pruned Spark scan of ``stored_docs``.
+
+        Candidate pairing and Jaccard verification run in numpy/Python on
+        the driver over ∝-true-dup-sized data; the gram rule is
+        word_ngrams_fast's, byte-for-byte. Returns None when a gate trips
+        (batch too fat, probe overflow, too many matched docs) — the
+        caller falls back to the distributed path. The stored corpus is
+        still never shuffled and never scanned beyond matched ids.
+
+        Probe transport note: a JVM BroadcastHashJoin against the packed
+        ck relation was A/B'd for job 2 and LOST to the Python probe
+        (2.6-2.9 s vs 1.7-1.9 s at 6.4M stored rows) — the hash-relation
+        build plus codegen row handling costs more than Arrow transit +
+        numpy searchsorted, even with a single consuming action."""
+        import time
+
+        import numpy as np
+
+        from crawl4ai_llm_spark.operators import dedup
+
+        def mark(name, t0=[time.time()]):
+            if timings is not None:
+                now = time.time()
+                timings[name] = round(now - t0[0], 3)
+                t0[0] = now
+
+        if n_batch is None or n_batch * dedup.N_BANDS > BROADCAST_BAND_ROW_BUDGET:
+            return None
+        stored_bd = self.minhash_bands.read()
+        if stored_bd is None:
+            raise ValueError("dedup index is empty — ingest_documents first")
+        _require_scheme(self.minhash_bands, "sig_scheme", SIG_SCHEME, "minhash_bands")
+
+        # job 1: batch band keys, doc-major (one array row per doc beats
+        # 32 exploded rows with the doc_id string repeated 32×)
+        bk_pd = prepared.select(
+            "doc_id", F.array(*dedup.band_key_cols()).alias("keys")
+        ).toPandas()
+        mark("job1_keys_collect")
+        new_ids = bk_pd["doc_id"].to_numpy()
+        if len(bk_pd) == 0:
+            return []
+        K = np.array(bk_pd["keys"].tolist(), dtype=np.int64)  # (n, 32)
+        ck_all = (K << np.int64(6)) + np.arange(dedup.N_BANDS, dtype=np.int64)[None, :]
+        arr = np.unique(ck_all.ravel())
+        bc = self.spark.sparkContext.broadcast(arr)
+        if caches is not None:
+            caches.append(bc)
+
+        # job 2: map-only exact-membership filter of the stored band scan
+        # (_band_member_filter: only the packed int64 crosses Arrow), then
+        # a cap mapInPandas over the already-tiny matched stream — the
+        # per-partition sentinel (band = -1) keeps the collect bounded.
+        cap = PER_PART_PROBE_CAP
+
+        def cap_rows(it):
+            taken = 0
+            for p in it:
+                if len(p) == 0:
+                    continue
+                if taken + len(p) > cap:
+                    head = p.iloc[: max(0, cap - taken)].copy()
+                    sentinel = p.iloc[:1].copy()
+                    sentinel["band"] = -1
+                    yield head
+                    yield sentinel
+                    return
+                taken += len(p)
+                yield p
+
+        matched_pd = (
+            _band_member_filter(stored_bd, bc)
+            .mapInPandas(cap_rows, stored_bd.schema)
+            .toPandas()
+        )
+        mark("job2_probe_collect")
+        if (matched_pd["band"] < 0).any():
+            return None  # probe overflow: dup-heavy wave, go distributed
+        if len(matched_pd) == 0:
+            return []
+
+        # driver pairing: matched stored rows → new docs sharing the band
+        # key, via searchsorted over the batch's packed keys
+        flat_ck = ck_all.ravel()
+        order = np.argsort(flat_ck, kind="stable")
+        sck = flat_ck[order]
+        mck = (matched_pd["key"].to_numpy().astype(np.int64) << np.int64(6)) + matched_pd[
+            "band"
+        ].to_numpy()
+        lo = np.searchsorted(sck, mck, "left")
+        hi = np.searchsorted(sck, mck, "right")
+        reps = hi - lo
+        if reps.sum() == 0:
+            return []
+        slots = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        pair_new = new_ids[order[slots] // dedup.N_BANDS]
+        pair_orig = np.repeat(matched_pd["doc_id"].to_numpy(), reps)
+        import pandas as pd
+
+        cand = pd.DataFrame({"new_id": pair_new, "orig_id": pair_orig}).drop_duplicates()
+        need_new = sorted(set(cand["new_id"]))
+        need_orig = sorted(set(cand["orig_id"]))
+        mark("pairing")
+        if len(need_new) + len(need_orig) > DRIVER_MATCH_DOC_BUDGET:
+            return None  # text pull too fat for the driver: go distributed
+
+        # job 3: matched NEW texts out of the prepared cache; ORIG texts
+        # via the caller's driver-side reader when given (pyarrow pushdown
+        # over the stored table's parquet — no Spark job), else one
+        # pushdown-pruned Spark scan. On a table with multiple rows per
+        # doc_id (recrawl before rebuild_content_index) the last row read
+        # wins — append order, i.e. the latest fetch.
+        new_pd = (
+            prepared.where(F.col("doc_id").isin(need_new))
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        new_text = dict(zip(new_pd["doc_id"], new_pd["text"]))
+        mark("job3_new_texts")
+        if orig_texts is not None:
+            orig_text = orig_texts(need_orig)
+        else:
+            orig_pd = (
+                stored_docs.where(F.col("doc_id").isin(need_orig))
+                .select("doc_id", "text")
+                .toPandas()
+            )
+            orig_text = dict(zip(orig_pd["doc_id"], orig_pd["text"]))
+        mark("orig_texts")
+
+        # exact verification, word_ngrams_fast's gram rule byte-for-byte
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def grams(t: str) -> set:
+            toks = [w for w in (t or "").split(" ") if w]
+            if len(toks) < 3:
+                return set()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        gn = {d: grams(t) for d, t in new_text.items()}
+        go = {d: grams(t) for d, t in orig_text.items()}
+        out = []
+        for new_id, orig_id in zip(cand["new_id"], cand["orig_id"]):
+            a, b = gn.get(new_id), go.get(orig_id)
+            if a is None or b is None:
+                continue
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            if union == 0 or inter / union < tau:
+                continue
+            # F.round parity: BigDecimal-style HALF_UP on the shortest
+            # decimal representation of the double
+            j = float(
+                Decimal(repr(inter / union)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append(
+                {
+                    # preserve the id column's native type (urls are
+                    # strings, the store tier uses longs)
+                    "new_id": new_id.item() if hasattr(new_id, "item") else new_id,
+                    "orig_id": orig_id.item() if hasattr(orig_id, "item") else orig_id,
+                    "jaccard": j,
+                }
+            )
+        return out
 
     def match_embeddings(
         self,

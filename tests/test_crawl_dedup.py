@@ -315,3 +315,29 @@ def test_rebuild_content_index_after_recrawl(spark, tmp_path, oracle):
     pairs = eng.dedup_index().match_documents(probe, stored_text, tau=TAU).collect()
     hits = {r["orig_id"]: r["jaccard"] for r in pairs if r["new_id"] == "probe-1"}
     assert victims[0] in hits and abs(hits[victims[0]] - 1.0) < 1e-9
+
+
+def test_crawl_dedup_distributed_fallback_matches_driver_tier(
+    spark, tmp_path, flag_run, monkeypatch
+):
+    """r07: the wave match runs a driver tier by default; when a driver
+    gate trips it falls back to the distributed verify. Force the gate
+    shut for a whole crawl and require the identical pair set + jaccard
+    values the driver-tier run (flag_run) produced."""
+    from crawl4ai_llm_spark.operators import dedup_store as ds
+
+    monkeypatch.setattr(ds, "BROADCAST_BAND_ROW_BUDGET", 0)  # both tiers off
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"),
+        CrawlConfig(**CFG, graph=SPEC, content_dedup=True, content_dedup_tau=TAU),
+    )
+    eng.run(seeds=SEEDS)
+    got = {
+        (r["new_id"], r["orig_id"]): r["jaccard"]
+        for r in eng.dup_pairs.read().collect()
+    }
+    want = {
+        (r["new_id"], r["orig_id"]): r["jaccard"]
+        for r in flag_run.dup_pairs.read().collect()
+    }
+    assert got == want

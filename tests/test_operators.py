@@ -421,3 +421,66 @@ def test_default_driver_memory_clamped_to_host(monkeypatch):
     got = S._default_driver_memory()
     assert re.fullmatch(r"\d+g", got)
     assert 2 <= int(got[:-1]) <= 32
+
+
+def test_match_documents_driver_parity_and_gates(spark, tmp_path, monkeypatch):
+    """r07 driver-tier match (VERDICT r06 #1): same pairs, same jaccard
+    values as the distributed verify — and every driver-size gate falls
+    back to None instead of truncating results."""
+    from crawl4ai_llm_spark.operators import dedup_store as ds
+    from crawl4ai_llm_spark.operators.dedup_store import DedupIndex
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    corpus_rows = [
+        (i, " ".join(words[(i + j) % 10] + str(i * 7 + j) for j in range(30)))
+        for i in range(200)
+    ]
+    batch_rows = [
+        (1000 + i, corpus_rows[i][1].replace(words[i % 10] + str(i * 7), "CHANGED", 1))
+        for i in range(10)
+    ] + [(2000, "too short text")]  # <3-gram doc: dropped from sig domain
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    idx = DedupIndex(spark, str(tmp_path / "wh"))
+    idx.ingest_documents(corpus)
+    prepared = idx.prepare_batch(batch).cache()
+    try:
+        dist = {
+            (r["new_id"], r["orig_id"]): r["jaccard"]
+            for r in idx.match_documents(
+                batch, corpus, prepared=prepared, n_batch=len(batch_rows)
+            ).collect()
+        }
+        drv = idx.match_documents_driver(
+            corpus, prepared=prepared, n_batch=len(batch_rows)
+        )
+        assert drv is not None
+        got = {(p["new_id"], p["orig_id"]): p["jaccard"] for p in drv}
+        assert got == dist and len(got) >= 10
+        # native id types survive (longs, not strings)
+        assert all(isinstance(k[0], int) for k in got)
+
+        # gate 1: batch too fat for a broadcast probe
+        assert (
+            idx.match_documents_driver(
+                corpus, prepared=prepared,
+                n_batch=ds.BROADCAST_BAND_ROW_BUDGET,  # × N_BANDS ≫ budget
+            )
+            is None
+        )
+        # gate 2: probe overflow (per-partition cap) → sentinel → None
+        monkeypatch.setattr(ds, "PER_PART_PROBE_CAP", 1)
+        assert (
+            idx.match_documents_driver(corpus, prepared=prepared, n_batch=11)
+            is None
+        )
+        monkeypatch.undo()
+        # gate 3: matched-doc text pull too fat
+        monkeypatch.setattr(ds, "DRIVER_MATCH_DOC_BUDGET", 1)
+        assert (
+            idx.match_documents_driver(corpus, prepared=prepared, n_batch=11)
+            is None
+        )
+    finally:
+        prepared.unpersist()
