@@ -58,8 +58,14 @@ SIGN_SCHEME = 2  # 4×16-bit coordinate-sign bands, NaN→sign-bit-set
 
 # Broadcast gate for a BATCH's band rows going into the stored-band join
 # (match_documents n_batch path): rows, not pairs — a band row is one
-# (doc_id, band, key) tuple, 32 per doc.
-BROADCAST_BAND_ROW_BUDGET = 8_000_000
+# (doc_id, band, key) tuple, 32 per doc. MEASURED, not asserted (r07,
+# tools/bench_probe_crossover.py, VERDICT r06 #5): forced-path sweep
+# against a 400k-doc index shows the transports tied through 3.2M band
+# rows and the shuffle join decisively ahead from 8M (42.3 s vs 19.1 s;
+# the probe's loss is structural — the np.unique + broadcast of an
+# 8M+-key array is driver-serial). 4M is the midpoint, biased low
+# because the probe legs carried more kernel-time noise and still lost.
+BROADCAST_BAND_ROW_BUDGET = 4_000_000
 
 # Driver-tier match gates (match_documents_driver, r07): the steady-state
 # crawl-wave match runs THREE map-only jobs + driver numpy instead of the

@@ -71,15 +71,55 @@ def run_tier(pairs: DataFrame, driver_threshold: int, expected_components: int) 
     return dt
 
 
+def _peak_rss_mb() -> int:
+    """This (Python driver) process's lifetime peak RSS in MB — the side
+    of the driver-memory wall the union-find tier actually occupies (the
+    collected edge arrays and the numpy union-find live here; the JVM
+    heap is bounded separately by spark.driver.memory)."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="250000,1000000,2000000,4000000")
     ap.add_argument("--chain-len", type=int, default=64)
+    ap.add_argument(
+        "--big",
+        action="store_true",
+        help="VERDICT r06 #6: 16M/32M edges, distributed + hybrid tiers only "
+        "(the pure driver tier would collect the full edge list — the exact "
+        "wall the hybrid exists to avoid), with peak driver RSS per leg",
+    )
     args = ap.parse_args()
 
     from crawl4ai_llm_spark.session import get_spark
 
     spark = get_spark(app_name="bench_cc")
+    if args.big:
+        print(f"# baseline peak driver RSS: {_peak_rss_mb()} MB")
+        print(
+            "| edges | components | distributed Pregel+doubling (s) | "
+            "hybrid shrink→driver (s) | peak driver RSS after (MB) |"
+        )
+        print("|---|---|---|---|---|")
+        for n in (int(s) for s in args.sizes.split(",")):
+            pairs, want = synth_edges(spark, n, chain_len=args.chain_len)
+            pairs = pairs.cache()
+            n_actual = pairs.count()
+            t_dist = run_tier(pairs, driver_threshold=0, expected_components=want)
+            rss_dist = _peak_rss_mb()
+            t_hybrid = run_tier(pairs, driver_threshold=4_000_000, expected_components=want)
+            rss_hyb = _peak_rss_mb()
+            pairs.unpersist()
+            print(
+                f"| {n_actual:,} | {want:,} | {t_dist:.1f} | {t_hybrid:.1f} | "
+                f"dist {rss_dist}, hybrid {rss_hyb} |",
+                flush=True,
+            )
+        spark.stop()
+        return
     print(
         "| edges | components | driver union-find (s) | "
         "distributed Pregel+doubling (s) | hybrid shrink→driver (s) |"
