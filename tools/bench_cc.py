@@ -85,6 +85,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="250000,1000000,2000000,4000000")
     ap.add_argument("--chain-len", type=int, default=64)
+    ap.add_argument("--tiers", default="dist,hybrid", help="--big mode tiers")
     ap.add_argument(
         "--big",
         action="store_true",
@@ -104,18 +105,21 @@ def main() -> None:
             "hybrid shrink→driver (s) | peak driver RSS after (MB) |"
         )
         print("|---|---|---|---|---|")
+        tiers = args.tiers.split(",")
         for n in (int(s) for s in args.sizes.split(",")):
             pairs, want = synth_edges(spark, n, chain_len=args.chain_len)
             pairs = pairs.cache()
             n_actual = pairs.count()
-            t_dist = run_tier(pairs, driver_threshold=0, expected_components=want)
-            rss_dist = _peak_rss_mb()
-            t_hybrid = run_tier(pairs, driver_threshold=4_000_000, expected_components=want)
-            rss_hyb = _peak_rss_mb()
+            cells = {"dist": "-", "hybrid": "-", "rss": []}
+            for tier in tiers:
+                thr = 0 if tier == "dist" else 4_000_000
+                t = run_tier(pairs, driver_threshold=thr, expected_components=want)
+                cells[tier] = f"{t:.1f}"
+                cells["rss"].append(f"{tier} {_peak_rss_mb()}")
             pairs.unpersist()
             print(
-                f"| {n_actual:,} | {want:,} | {t_dist:.1f} | {t_hybrid:.1f} | "
-                f"dist {rss_dist}, hybrid {rss_hyb} |",
+                f"| {n_actual:,} | {want:,} | {cells['dist']} | {cells['hybrid']} | "
+                f"{', '.join(cells['rss'])} |",
                 flush=True,
             )
         spark.stop()
