@@ -712,54 +712,241 @@ def simhash64(toks_df: DataFrame, col: str = "toks") -> DataFrame:
     )
 
 
+_simhash_text_udf = None
+
+
+def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, sim_lo, sim_hi) in ONE Arrow pass —
+    bit-identical to ``simhash64(array_distinct(tokens(text)))`` but
+    without the per-character JVM expression fold: ``char_fingerprint``
+    is a higher-order ``aggregate`` over ``split(token, '')``, evaluated
+    interpreted per character per token (measured: the fingerprint pass
+    alone was 15.8 s at 50k docs; this pass is ~1-2 s). Tokenization,
+    per-doc distinct, the polynomial char hash (acc·131 + codepoint mod
+    P — numpy int64, products < 2^63 so no overflow), both 32-bit mixes
+    and the sign-sum fold all happen here; docs with zero tokens emit no
+    row (matching the old ``where(size(toks) > 0)``)."""
+    global _simhash_text_udf
+    if _simhash_text_udf is None:
+        import numpy as np
+        import pandas as pd
+
+        P = np.int64(tx.HASH_P)
+        MULT = np.int64(tx.HASH_MULT)
+        MIX = np.int64(tx.MIX32)
+        MIXB = np.int64(tx.MIX32B)
+        T32 = np.int64(tx.TWO32)
+        BITS = [np.uint64(j) for j in range(64)]
+
+        def _hash_vocab(uniq) -> tuple:
+            """Vectorized polynomial char hash over the batch vocabulary:
+            one numpy pass per char position (vocab × maxlen matrix of
+            codepoints — np.char '<U' storage reads back exactly ord())."""
+            arr = np.asarray(uniq, dtype="U")
+            if arr.size == 0:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z
+            maxlen = max(arr.dtype.itemsize // 4, 1)
+            codes = arr.view(np.uint32).reshape(len(arr), maxlen).astype(np.int64)
+            acc = np.zeros(len(arr), dtype=np.int64)
+            for k in range(maxlen):
+                c = codes[:, k]
+                live = c != 0  # '<U' pads with NUL, never a real token char
+                if not live.any():
+                    break
+                acc[live] = (acc[live] * MULT + c[live]) % P
+            return (acc * MIX) % T32, (acc * MIXB + 1) % T32
+
+        def fps(it):
+            import pandas as _pd
+
+            for pdf in it:
+                ids = pdf["doc_id"].to_numpy()
+                tok_lists = []
+                for t in pdf[text_col]:
+                    # dict.fromkeys = order-preserving distinct (order is
+                    # irrelevant to the sign sums; the SET is what matters)
+                    tok_lists.append(
+                        list(dict.fromkeys(w for w in (t or "").split(" ") if w))
+                    )
+                lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+                keep = lens > 0
+                if not keep.any():
+                    yield _pd.DataFrame(
+                        {"doc_id": _pd.Series([], dtype="int64"),
+                         "sim_lo": _pd.Series([], dtype="int64"),
+                         "sim_hi": _pd.Series([], dtype="int64")}
+                    )
+                    continue
+                ids, lens = ids[keep], lens[keep]
+                flat = _pd.Series(
+                    [w for tl, k in zip(tok_lists, keep) if k for w in tl]
+                )
+                codes_idx, uniq = _pd.factorize(flat, sort=False)
+                lo_u, hi_u = _hash_vocab(uniq)
+                lo = lo_u[codes_idx].astype(np.uint64)
+                hi = hi_u[codes_idx].astype(np.uint64)
+                comb = lo | (hi << np.uint64(32))
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                # bit-plane loop: one (n,) temp per plane instead of an
+                # (n,64) matrix — bounds per-task transient memory
+                out = np.zeros(len(lens), dtype=np.uint64)
+                for j in BITS:
+                    ones = np.add.reduceat(
+                        ((comb >> j) & np.uint64(1)).astype(np.int64), starts
+                    )
+                    # sign sum = 2·ones − len > 0  ⟺  bit set
+                    out |= (2 * ones > lens).astype(np.uint64) << j
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "sim_lo": (out & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                        "sim_hi": (out >> np.uint64(32)).astype(np.int64),
+                    }
+                )
+
+        _simhash_text_udf = fps
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        _simhash_text_udf, "doc_id long, sim_lo long, sim_hi long"
+    )
+
+
+def _simhash_band_cols(lo_col: str, hi_col: str) -> list:
+    """The 4×16-bit band keys of a 64-bit fingerprint — ONE definition
+    shared by both sides of the fingerprint-level band join."""
+    halves = {0: lo_col, 1: lo_col, 2: hi_col, 3: hi_col}
+    return [
+        F.shiftright(F.col(halves[b]), 16 * (b % 2)).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4)
+    ]
+
+
+# Broadcast budget for the DISTINCT-fingerprint band table (4 rows/fp ×
+# ~24 B). Duplicate-heavy corpora collapse hard (sf1.0: 50k docs → 32.4k
+# fps) but a dup-free 10⁹-doc corpus would not — above the budget the band
+# join falls back to the shuffled equi-join, same plan shape as before.
+SIMHASH_FP_BROADCAST_BUDGET = 2_000_000
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup at Hamming radius ≤ 3 with 4×16-bit band blocking
     over the 64-bit fingerprint. Pigeonhole guarantee: ≤3 differing bits
     across 4 bands leaves ≥1 band identical, so band-bucket candidates have
     ZERO false negatives — the banded plan provably equals the all-pairs
-    oracle."""
-    docs = load_table(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.array_distinct(tx.tokens(F.col("text"))).alias("toks")
-    )
-    # cached: the fingerprint table feeds both sides of the band self-join
-    sim = simhash64(toks).cache()
-    halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(halves[b]), 16 * (b % 2))
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
+    oracle.
+
+    r08 shape: the band self-join runs over DISTINCT fingerprints, not
+    docs. Near-dup clusters share identical simhashes (sf1.0: 50k docs →
+    32,402 fps, hottest band bucket 12,438 docs but only 3,683 fps), so
+    the quadratic bucket work drops 240M → 22.5M candidate probes, and
+    the doc-level result — identical-fp pairs (hamming 0) plus the
+    fp-edge × member-list expansion — is generated by broadcast joins,
+    output ∝ result rows (38.2M at sf1.0), no 38M-row ``distinct``:
+    an fp pair is emitted exactly once (at its FIRST matching band), and
+    disjoint fp groups make doc pairs unique by construction. Measured
+    153.5 s → see OPTIMIZATION_r08.md."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if estimated_scan_partitions(docs) < par:
+        docs = docs.repartition(par)
+    # cached: feeds the fp distinct, the identical-fp self-join (both
+    # sides) and both expansion joins
+    sim = with_simhash(docs).cache()
+    g = sim.select("sim_lo", "sim_hi").distinct().cache()
+    n_fps = g.count()
+
+    keys_a = _simhash_band_cols("sim_lo", "sim_hi")
+    bd = g.select(
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), keys_a[b].alias("key"))
+                    for b in range(4)
+                ]
             )
-            for b in range(4)
-        ]
+        ).alias("bk"),
+    ).select("sim_lo", "sim_hi", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bd_b = bd.select(
+        F.col("sim_lo").alias("b_lo"),
+        F.col("sim_hi").alias("b_hi"),
+        F.col("band").alias("b_band"),
+        F.col("key").alias("b_key"),
     )
-    bd = sim.select("doc_id", "sim_lo", "sim_hi", F.explode(bands).alias("bk")).select(
-        "doc_id", "sim_lo", "sim_hi",
-        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
-    )
-    a, b = bd.alias("a"), bd.alias("b")
+    build = F.broadcast(bd_b) if n_fps <= SIMHASH_FP_BROADCAST_BUDGET else bd_b
     ham = (
-        F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
-        + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        F.bit_count(F.col("sim_lo").bitwiseXOR(F.col("b_lo")))
+        + F.bit_count(F.col("sim_hi").bitwiseXOR(F.col("b_hi")))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    fp_lt = (F.col("sim_lo") < F.col("b_lo")) | (
+        (F.col("sim_lo") == F.col("b_lo")) & (F.col("sim_hi") < F.col("b_hi"))
+    )
+    # emit an fp pair only at its FIRST matching band — replaces the
+    # result-sized .distinct() with a cheap per-row predicate
+    ka = _simhash_band_cols("sim_lo", "sim_hi")
+    kb = _simhash_band_cols("b_lo", "b_hi")
+    earlier_bands_differ = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.when(F.col("band") == 1, ka[0] != kb[0]).otherwise(
+            F.when(F.col("band") == 2, (ka[0] != kb[0]) & (ka[1] != kb[1])).otherwise(
+                (ka[0] != kb[0]) & (ka[1] != kb[1]) & (ka[2] != kb[2])
+            )
         )
-        .where(ham <= SIMHASH_RADIUS)
+    )
+    edges = (
+        bd.join(build, (F.col("band") == F.col("b_band")) & (F.col("key") == F.col("b_key")))
+        .where(fp_lt & (ham <= SIMHASH_RADIUS) & earlier_bands_differ)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("sim_lo").alias("a_lo"),
+            F.col("sim_hi").alias("a_hi"),
+            "b_lo",
+            "b_hi",
             ham.cast("long").alias("hamming"),
         )
-        .distinct()
     )
+
+    sim_small = n_fps <= SIMHASH_FP_BROADCAST_BUDGET  # n_docs ∝ n_fps gate
+    sim_a = sim.select(
+        F.col("sim_lo").alias("a_lo"), F.col("sim_hi").alias("a_hi"),
+        F.col("doc_id").alias("id_a"),
+    )
+    sim_b = sim.select(
+        F.col("sim_lo").alias("b_lo"), F.col("sim_hi").alias("b_hi"),
+        F.col("doc_id").alias("id_b"),
+    )
+    if sim_small:
+        sim_a, sim_b = F.broadcast(sim_a), F.broadcast(sim_b)
+    cross = (
+        edges.join(sim_a, ["a_lo", "a_hi"])
+        .join(sim_b, ["b_lo", "b_hi"])
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    s2 = sim.select(
+        F.col("sim_lo").alias("w_lo"), F.col("sim_hi").alias("w_hi"),
+        F.col("doc_id").alias("id_b"),
+    )
+    if sim_small:
+        s2 = F.broadcast(s2)
+    within = (
+        sim.join(
+            s2,
+            (F.col("sim_lo") == F.col("w_lo"))
+            & (F.col("sim_hi") == F.col("w_hi"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 # --------------------------------------------------------------------------

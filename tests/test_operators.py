@@ -112,6 +112,47 @@ def test_simhash_16bit_bands_cut_join_work(spark, sf_dir):
     assert w16 < w8 / 2, (w16, w8)
 
 
+def test_with_simhash_matches_expression_path(spark, sf_dir):
+    """r08 fused fingerprint pass: with_simhash (one Arrow pass from raw
+    text — tokenize + distinct + polynomial char hash + mixes + sign fold
+    in numpy) must be BIT-IDENTICAL to the expression-tier path
+    simhash64(array_distinct(tokens(text))), including dropping
+    zero-token docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # exercise the empty-token and null paths too
+    extra = spark.createDataFrame(
+        [(90_001, ""), (90_002, "   "), (90_003, None), (90_004, "one two one")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    toks = docs.select(
+        "doc_id", F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("toks")
+    )
+    expected = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in dedup.simhash64(toks).collect()
+    }
+    got = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in dedup.with_simhash(docs).collect()
+    }
+    assert got == expected
+    assert 90_004 in got and 90_001 not in got and 90_003 not in got
+
+
+def test_simhash_fp_group_plan_emits_unique_pairs(spark, sf_dir):
+    """r08 fingerprint-group rewrite: the query must emit every in-radius
+    pair EXACTLY once (the old plan deduped with a result-sized distinct;
+    the new plan proves uniqueness by construction — first-matching-band
+    edges over disjoint fp groups)."""
+    rows = dedup.q_dedup_simhash(spark, sf_dir).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) > 0
+
+
 def test_embedding_bucketed_equals_allpairs(spark, sf_dir):
     """The sign-LSH bucketed near-dup plan returns EXACTLY the all-pairs
     answer on the influx corpus (positive perturbation preserves signs ⇒
