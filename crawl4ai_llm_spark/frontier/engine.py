@@ -52,6 +52,22 @@ from crawl4ai_llm_spark.frontier import webgraph as wg
 from crawl4ai_llm_spark.functions.urls import canonicalize_url, host_of, url_hash
 from crawl4ai_llm_spark.schemas import SPAN_TYPE
 
+# Corpus-footprint gate for the driver-tier orig-text pyarrow read
+# (VERDICT r07 #2): the doc-id predicate does not prune row groups (ids are
+# URLs in wave order), so the driver scan reads every live byte of the docs
+# table — bounded OUTPUT (DRIVER_MATCH_DOC_BUDGET) never bounded the SCAN.
+# Above this many live bytes the engine hands the orig-text lookup back to
+# the distributed pushdown-pruned scan. Default sized from the measured
+# crossover (tools/bench_doc_text_read.py, BENCH.md r08): the pyarrow read
+# stays cheaper than the Spark job's ~1 s scheduling floor well past this
+# size, but a multi-GB driver read starts to own the wave wall and risks
+# driver memory — env-overridable for bigger driver hosts.
+import os as _os_env  # noqa: E402
+
+DRIVER_TEXT_READ_BYTE_BUDGET = int(
+    _os_env.environ.get("SPARK_GRAFT_DRIVER_TEXT_READ_BYTES", str(512 * 1024 * 1024))
+)
+
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -228,7 +244,7 @@ class FrontierEngine:
             " ",
         )
 
-    def _read_doc_texts(self, doc_ids: list) -> dict:
+    def _read_doc_texts(self, doc_ids: list) -> dict | None:
         """Driver-side pyarrow read of a FEW docs' texts by id — the
         match driver tier's orig-side lookup: a filter-pushdown scan of
         the docs table's parquet files costs ~0.07 s where the
@@ -236,27 +252,57 @@ class FrontierEngine:
         scheduling, not bytes). Text rule == _spans_text exactly:
         text-kind span texts joined with ' ' in span order, nulls
         skipped (array_join semantics). Multiple rows per doc_id
-        (recrawl before rebuild_content_index): last row in append
-        order wins — the latest fetch."""
+        (recrawl before rebuild_content_index): the MAX-WAVE row wins —
+        the repo's "latest fetch" rule (compaction rewrites files and
+        mixes waves, so append order is not a reliable proxy; ADVICE
+        r07). Ties inside one wave fall back to append order.
+
+        CORPUS-FOOTPRINT GATE (VERDICT r07 #2): doc_ids are URLs
+        appended in wave order, so parquet row-group stats do NOT prune
+        this predicate — the scan reads every live file. Bounded output
+        never bounded the scan; at 10⁹ docs every wave would pay a
+        driver-side full-corpus read. Above
+        ``DRIVER_TEXT_READ_BYTE_BUDGET`` live bytes this returns None
+        and the caller (match_documents_driver) falls back to the
+        distributed pushdown-pruned scan of the stored docs — the same
+        rows, executor-side. Crossover measured in
+        tools/bench_doc_text_read.py (BENCH.md r08)."""
+        import os as _os
+
         import pyarrow.dataset as pads
 
         snap = self.docs.current_snapshot()
         if snap is None or not snap.files:
             return {}
+        total = 0
+        for f in snap.files:
+            try:
+                total += _os.path.getsize(f)
+            except OSError:
+                return None  # non-local/unsizable file: never risk the driver
+        if total > DRIVER_TEXT_READ_BYTE_BUDGET:
+            return None
         tbl = pads.dataset(snap.files).to_table(
-            columns=["doc_id", "spans"],
+            columns=["doc_id", "spans", "wave"],
             filter=pads.field("doc_id").isin(doc_ids),
         )
-        out: dict = {}
-        for did, spans in zip(
-            tbl.column("doc_id").to_pylist(), tbl.column("spans").to_pylist()
+        best: dict = {}
+        for did, spans, wv in zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("spans").to_pylist(),
+            tbl.column("wave").to_pylist(),
         ):
-            out[did] = " ".join(
-                s["text"]
-                for s in (spans or [])
-                if s["kind"] == "text" and s["text"] is not None
-            )
-        return out
+            wv = -1 if wv is None else wv
+            if did not in best or wv >= best[did][0]:
+                best[did] = (
+                    wv,
+                    " ".join(
+                        s["text"]
+                        for s in (spans or [])
+                        if s["kind"] == "text" and s["text"] is not None
+                    ),
+                )
+        return {did: text for did, (_, text) in best.items()}
 
     def robots_df(self) -> DataFrame:
         """Tiny host→rules dimension — always broadcast (C7)."""

@@ -325,6 +325,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # 0xFF) — skip them so 0xFF is never misread as a marker code
         while pos < len(data) - 1 and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # a trailing 0xFF run would read past the buffer below —
+            # keep the parser's ValueError convention (ADVICE r07)
+            raise ValueError("truncated marker segment")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

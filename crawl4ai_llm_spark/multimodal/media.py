@@ -298,9 +298,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = False) ->
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
                 if avimod.is_avi(payload):
-                    stream = avimod.parse_avi(payload)
-                    for ts, idx in avimod.sample_frame_indices(stream, every_ms):
-                        rows.append((mid, ts, stream.frames[idx]))
+                    # per-row quarantine contract: a truncated/malformed
+                    # RIFF body that passes the 12-byte prefix check must
+                    # degrade to a quarantine row, not kill the Spark job
+                    # (ADVICE r07 high); a structurally valid AVI with
+                    # zero frames likewise emits the quarantine row
+                    # instead of silently dropping the asset (ADVICE low)
+                    try:
+                        stream = avimod.parse_avi(payload)
+                        sampled = list(avimod.sample_frame_indices(stream, every_ms))
+                        if not sampled:
+                            rows.append((mid, None, None))
+                        for ts, idx in sampled:
+                            rows.append((mid, ts, stream.frames[idx]))
+                    except Exception:
+                        rows.append((mid, None, None))
                 elif _pyav is not None:
                     try:
                         rows.extend(pyav_rows(mid, payload))

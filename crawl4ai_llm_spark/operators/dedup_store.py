@@ -595,9 +595,11 @@ class DedupIndex:
         )
         new_text = dict(zip(new_pd["doc_id"], new_pd["text"]))
         mark("job3_new_texts")
-        if orig_texts is not None:
-            orig_text = orig_texts(need_orig)
-        else:
+        orig_text = orig_texts(need_orig) if orig_texts is not None else None
+        if orig_text is None:
+            # the caller's driver-side reader declined (corpus footprint
+            # above its byte budget, VERDICT r07 #2) or none was given:
+            # ONE distributed pushdown-pruned scan, bounded by matched ids
             orig_pd = (
                 stored_docs.where(F.col("doc_id").isin(need_orig))
                 .select("doc_id", "text")

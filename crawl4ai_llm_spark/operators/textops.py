@@ -113,18 +113,33 @@ def q_training_mix(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus statistics: top-3 terms per doc by tf·(N/df). The score uses
-    rational arithmetic (no log) so the oracle reproduces it exactly; the
-    plan is two shuffles (term df, then per-doc rank) with map-side partial
-    counts — linear in corpus size."""
+    rational arithmetic (no log) so the oracle reproduces it exactly.
+
+    r08 plan shape (guide §2.3/§2.4/§3.1): the docs scan is widened to the
+    core count (the driver table is ONE parquet file → a 1-task tokenize),
+    tf is cached and df is DERIVED from it (tf already has exactly one row
+    per (doc, term), so groupBy(term).count() == distinct-doc count —
+    the second tokenize+explode+distinct pass is gone), and the tf⋈df
+    join broadcasts df when a MEASURED count fits the budget (the term
+    dimension is tiny — 31 terms on this corpus; a web-scale vocabulary
+    above the budget falls back to the shuffled equi-join). One real
+    shuffle remains of the three: the per-doc rank window."""
+    from crawl4ai_llm_spark.operators.dedup import (
+        _broadcast_if_small,
+        estimated_scan_partitions,
+    )
+
     docs = load_table(spark, sf, "documents")
     n_docs = docs.count()
+    docs = docs.select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if estimated_scan_partitions(docs) < par:
+        docs = docs.repartition(par)
     terms = docs.select(
         "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    df_ = _broadcast_if_small(tf.groupBy("term").agg(F.count("*").alias("df")))
     from pyspark.sql.window import Window
 
     score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))

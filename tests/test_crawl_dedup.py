@@ -317,6 +317,64 @@ def test_rebuild_content_index_after_recrawl(spark, tmp_path, oracle):
     assert victims[0] in hits and abs(hits[victims[0]] - 1.0) < 1e-9
 
 
+def test_orig_text_byte_budget_forces_distributed_read(
+    spark, tmp_path, flag_run, monkeypatch
+):
+    """r08 (VERDICT r07 #2): the driver-tier orig-text pyarrow read is
+    gated on the docs table's LIVE BYTES. Force the budget to zero for a
+    whole crawl: _read_doc_texts must decline (return None), the match
+    must fall back to the distributed pushdown-pruned scan, and the pair
+    set + jaccard values must equal the ungated run's exactly."""
+    from crawl4ai_llm_spark.frontier import engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "DRIVER_TEXT_READ_BYTE_BUDGET", 0)
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"),
+        CrawlConfig(**CFG, graph=SPEC, content_dedup=True, content_dedup_tau=TAU),
+    )
+    eng.run(seeds=SEEDS)
+    # the gate must actually decline on the populated table
+    some_id = next(iter(eng.docs.read().select("doc_id").limit(1).collect()))["doc_id"]
+    assert eng._read_doc_texts([some_id]) is None
+    got = {
+        (r["new_id"], r["orig_id"]): r["jaccard"]
+        for r in eng.dup_pairs.read().collect()
+    }
+    want = {
+        (r["new_id"], r["orig_id"]): r["jaccard"]
+        for r in flag_run.dup_pairs.read().collect()
+    }
+    assert got == want
+
+
+def test_read_doc_texts_max_wave_wins(spark, tmp_path, flag_run):
+    """ADVICE r07: with multiple rows per doc_id the orig-text lookup
+    must return the MAX-WAVE row's text (the repo's latest-fetch rule),
+    not whichever row the scan order surfaces last — compaction rewrites
+    files and mixes waves."""
+    import pyarrow.parquet as pq
+
+    eng = flag_run
+    rows = eng.docs.read().limit(1).collect()
+    some, wave_now = rows[0]["doc_id"], rows[0]["wave"]
+    schema = pq.ParquetFile(eng.docs.current_snapshot().files[0]).schema_arrow
+    span = {"kind": "text", "text": None, "media_ref": None, "offset": 0}
+    # append a NEWER fetch of the same doc with a sentinel text, then an
+    # OLDER-wave row with a decoy — max-wave must win regardless of order
+    eng.docs.append_pylist(
+        [{"doc_id": some, "spans": [{**span, "text": "sentinel-latest"}],
+          "wave": wave_now + 5}],
+        schema=schema,
+    )
+    eng.docs.append_pylist(
+        [{"doc_id": some, "spans": [{**span, "text": "decoy-stale"}],
+          "wave": wave_now + 1}],
+        schema=schema,
+    )
+    got = eng._read_doc_texts([some])
+    assert got[some] == "sentinel-latest"
+
+
 def test_crawl_dedup_distributed_fallback_matches_driver_tier(
     spark, tmp_path, flag_run, monkeypatch
 ):

@@ -378,6 +378,61 @@ def test_avi_mjpeg_frame_sampling_pure_python(spark):
     assert len(alien) == 1 and alien[0]["frame"] is None
 
 
+def test_truncated_and_empty_avi_quarantine_per_row(spark):
+    """ADVICE r07: a malformed RIFF body that passes the 12-byte is_avi
+    prefix check (typical untrusted crawled bytes) must emit the
+    (mid, None, None) quarantine row, not kill the Spark job; a
+    structurally valid AVI with ZERO video frames must also emit the
+    quarantine row instead of silently dropping the asset."""
+    import numpy as np
+
+    from crawl4ai_llm_spark.multimodal import avi as avimod
+    from crawl4ai_llm_spark.multimodal.jpeg import encode_jpeg
+
+    good = avimod.encode_avi_mjpeg(
+        [encode_jpeg(np.full((8, 8, 3), 42, np.uint8))], width=8, height=8, fps=5
+    )
+    truncated = good[:40]  # passes is_avi, dies in the header unpacks
+    assert avimod.is_avi(truncated)
+    # structurally valid RIFF/AVI with an empty body: parses, zero frames
+    import struct
+
+    zero_frames = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    assert avimod.is_avi(zero_frames)
+    assert avimod.parse_avi(zero_frames).n_frames == 0
+    rows = [
+        ("ok", "video", bytearray(good),
+         {"width": 8, "height": 8, "duration_ms": 200, "codec": "MJPG"}),
+        ("trunc", "video", bytearray(truncated),
+         {"width": 8, "height": 8, "duration_ms": 200, "codec": "MJPG"}),
+        ("empty", "video", bytearray(zero_frames),
+         {"width": 8, "height": 8, "duration_ms": 0, "codec": "MJPG"}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_frames(media, every_ms=100).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert all(r["frame"] is not None for r in by_id["ok"])
+    assert len(by_id["trunc"]) == 1 and by_id["trunc"][0]["frame"] is None
+    assert len(by_id["empty"]) == 1 and by_id["empty"][0]["frame"] is None
+
+
+def test_jpeg_trailing_fill_bytes_raise_valueerror():
+    """ADVICE r07: a trailing 0xFF fill run must raise the parser's
+    ValueError convention, not IndexError, from bare decode_jpeg."""
+    import numpy as np
+    import pytest
+
+    from crawl4ai_llm_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    jp = encode_jpeg(np.full((8, 8, 3), 7, np.uint8))
+    # strip EOI, append a fill run ending the buffer
+    bad = jp[:-2] + b"\xff\xff\xff"
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
 def test_avi_word_alignment_with_odd_frame_sizes():
     """RIFF chunks are word-aligned: odd-length JPEG frames force pad
     bytes, which the demuxer must step over without desync."""
