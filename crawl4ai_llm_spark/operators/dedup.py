@@ -246,18 +246,31 @@ def _candidate_pairs_inverted(shingles: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_pairs(shingles: DataFrame, tau: float, candidates: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    shingles: DataFrame,
+    tau: float,
+    candidates: DataFrame | None = None,
+    candidates_prepared: bool = False,
+) -> DataFrame:
     """Exact Jaccard ≥ tau over candidate pairs (full gram sets — the df cap
     affects only which pairs get scored, never the score).
 
     Without candidates: generate them from the df-capped inverted index (the
     spec tier). With candidates (the LSH path): the list is tiny
     (∝ true duplicates) — broadcast it so the gram table never shuffles.
+    ``candidates_prepared``: the caller already gated+hinted the list
+    (_broadcast_if_small) — re-wrapping re-cached and re-counted it, one
+    whole extra Spark job per query (r08; per-job scheduling constant,
+    not bytes).
     """
     lsh_path = candidates is not None
     if candidates is None:
         candidates = _candidate_pairs_inverted(shingles)
-    cand = _broadcast_if_small(candidates) if lsh_path else candidates
+    cand = (
+        candidates
+        if candidates_prepared
+        else (_broadcast_if_small(candidates) if lsh_path else candidates)
+    )
     ga = shingles.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
@@ -548,10 +561,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = fused.join(ids, "doc_id", "left_semi").select(
+    # ids ∝ matched docs (tiny) but its size ESTIMATE is opaque to Catalyst
+    # (derived from a hinted cache) — without the hint the semi-join
+    # shuffled the whole fused cache (r08)
+    sh = fused.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", word_ngrams_fast(F.col("text")).alias("grams")
     )
-    return _jaccard_pairs(sh, JACCARD_TAU, candidates=cand)
+    return _jaccard_pairs(sh, JACCARD_TAU, candidates=cand, candidates_prepared=True)
 
 
 def _index_warehouse(sf: str, kind: str) -> str:

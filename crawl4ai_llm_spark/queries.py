@@ -144,15 +144,27 @@ def q_agg_pricing(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_join_revenue_topn(spark: SparkSession, sf: str) -> DataFrame:
     """Join + agg + top-k (TPC-H Q3 shape). customer is the small dimension —
-    broadcast; lineitem⋈orders co-shuffle on the order key once. Top-10 is
-    TakeOrdered, no full sort."""
+    broadcast; the qualifying ORDER KEYS (orders ⋈ BUILDING customers,
+    projected to o_orderkey — guide §2.3 "project before the exchange" /
+    §3.2 semi-join reduction) are resolved first and joined into lineitem,
+    so the fact table joins against a ~5× smaller single-column build side
+    and only matching line items reach the aggregation. Top-10 is
+    TakeOrdered, no full sort. At scale the orders⋈cust reduction is the
+    Bloom/semi-join pre-filter; locally both joins broadcast under the
+    threshold — the one shuffle left is the groupBy's."""
     cust = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    bldg_orders = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # explicit hint: the post-join size ESTIMATE is unknown to Catalyst
+        # (guide §3.1 — estimates are often wrong after filters/joins), so
+        # without it the planner falls back to shuffling the fact table
+        li.join(F.broadcast(bldg_orders), li.l_orderkey == bldg_orders.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
