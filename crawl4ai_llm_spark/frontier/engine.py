@@ -58,14 +58,17 @@ from crawl4ai_llm_spark.schemas import SPAN_TYPE
 # table — bounded OUTPUT (DRIVER_MATCH_DOC_BUDGET) never bounded the SCAN.
 # Above this many live bytes the engine hands the orig-text lookup back to
 # the distributed pushdown-pruned scan. Default sized from the measured
-# crossover (tools/bench_doc_text_read.py, BENCH.md r08): the pyarrow read
-# stays cheaper than the Spark job's ~1 s scheduling floor well past this
-# size, but a multi-GB driver read starts to own the wave wall and risks
-# driver memory — env-overridable for bigger driver hosts.
+# crossover (tools/bench_doc_text_read.py, BENCH.md r08): the driver read
+# grows ~4.8 ms/MB of live parquet (it reads every byte), while the Spark
+# filter+collect wall is flat — 0.17-0.23 s on a quiet micro-table, ~1.1 s
+# in a live crawl session (engine measurement, r07). 256 MB ≈ the point
+# where the driver read exceeds even the live-session Spark wall; beyond
+# it the driver scan also starts to own wave latency and driver memory.
+# Env-overridable for bigger/smaller driver hosts.
 import os as _os_env  # noqa: E402
 
 DRIVER_TEXT_READ_BYTE_BUDGET = int(
-    _os_env.environ.get("SPARK_GRAFT_DRIVER_TEXT_READ_BYTES", str(512 * 1024 * 1024))
+    _os_env.environ.get("SPARK_GRAFT_DRIVER_TEXT_READ_BYTES", str(256 * 1024 * 1024))
 )
 
 FETCH_RESULT_SCHEMA = T.StructType(
@@ -141,6 +144,15 @@ class CrawlConfig:
     # rewrite the append-only tables every K waves (0 = never) — bounds
     # reader footer-scan cost on long crawls
     compact_every: int = 0
+    # AUTO-compaction trigger (VERDICT r07 #6): compact when the docs
+    # table's live file count exceeds this (0 = off). Unlike the fixed
+    # wave cadence, this bounds what actually degrades readers — the file
+    # count — regardless of wave width: every snap.files consumer
+    # (planning, the driver-tier orig-text read, footer scans) walks the
+    # live file list, which otherwise grows cores×waves on a 10⁴-wave
+    # crawl. Measured cost shape in BENCH.md r08 (file count and
+    # orig-text read wall, before vs after compaction).
+    compact_file_threshold: int = 0
     # content near-dup detection wired INTO the crawl loop (VERDICT r04
     # #3): each wave's fetched documents are matched against a crawl-owned
     # persisted DedupIndex (MinHash band keys over the concatenated text
@@ -1115,4 +1127,12 @@ class FrontierEngine:
                 break
             if self.config.compact_every and wave % self.config.compact_every == 0:
                 self.compact_tables()
+            elif self.config.compact_file_threshold:
+                snap = self.docs.current_snapshot()
+                if snap and len(snap.files) > self.config.compact_file_threshold:
+                    # expire_keep_last=1: on the append-lineage shape only
+                    # keeping just the compacted snapshot frees files (see
+                    # compact_tables docstring) — the point of a file-count
+                    # trigger is bounding the live set, so free it
+                    self.compact_tables(expire_keep_last=1)
         return wave - start

@@ -222,6 +222,39 @@ def test_crawl_dedup_with_compaction_matches(spark, tmp_path, flag_run):
     assert len(snap.files) <= spark.sparkContext.defaultParallelism
 
 
+def test_auto_compaction_file_threshold(spark, tmp_path, flag_run):
+    """r08 (VERDICT r07 #6): compact_file_threshold triggers compaction
+    from the docs table's LIVE FILE COUNT instead of a wave cadence —
+    the quantity that actually degrades snap.files consumers. The
+    crawl's results must be identical and the live file set bounded."""
+    threshold = 6
+    eng = FrontierEngine(
+        spark, str(tmp_path / "wh"),
+        CrawlConfig(**CFG, graph=SPEC, content_dedup=True, content_dedup_tau=TAU,
+                    compact_file_threshold=threshold, commit_partitions=4),
+    )
+    eng.run(seeds=SEEDS)
+    got = {(r["new_id"], r["orig_id"]) for r in eng.dup_pairs.read().collect()}
+    want = {(r["new_id"], r["orig_id"]) for r in flag_run.dup_pairs.read().collect()}
+    assert got == want
+    # the trigger fired (a multi-wave crawl at 4 files/wave must exceed 6)
+    # and bounded the live set: at most threshold + one wave's appends
+    # accumulate before the next trigger check
+    snap = eng.docs.current_snapshot()
+    par = spark.sparkContext.defaultParallelism
+    assert len(snap.files) <= threshold + 4, len(snap.files)
+    # expire_keep_last=1 actually freed superseded files on disk
+    import os
+
+    data_dir = os.path.dirname(snap.files[0])
+    on_disk = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(on_disk) <= threshold + 2 * par, len(on_disk)
+    # docs content equals the uncompacted run's
+    got_docs = {r["doc_id"] for r in eng.docs.read().select("doc_id").collect()}
+    want_docs = {r["doc_id"] for r in flag_run.docs.read().select("doc_id").collect()}
+    assert got_docs == want_docs
+
+
 def test_resume_truncates_first_wave_torn_table(spark, tmp_path):
     """Kill during the FIRST wave that ever writes a table: no snapshot
     predates the torn one, so rollback can't rewind — resume must
