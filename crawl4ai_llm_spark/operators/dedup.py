@@ -32,6 +32,7 @@ functions/text.py, so the oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -340,6 +341,28 @@ _sig_udf = None
 # incremental tier is READ from the persisted band table, never re-signed
 _SIG_ROWS_COUNTER = None
 
+# permutations per block of the signature kernel: 8 rows × n_grams uint64
+# keeps the multiply-shift working set ~33 MB per task (vs 536 MB for all
+# 128 at a 523k-gram batch), so the add/shift/reduceat passes hit cache
+# instead of DRAM; same element-wise arithmetic, so signatures are
+# bit-identical to the full-width form (128 = one block = that old form)
+_SIG_BLOCK = int(os.environ.get("SPARK_GRAFT_SIG_BLOCK", "8"))
+
+
+def _blocked_minhash(A, B, shift, gh, starts):
+    """(128, n_grams) multiply-shift mins, computed _SIG_BLOCK rows at a
+    time. A/B are (128, 1) uint64 columns; returns (128, n_docs) uint64."""
+    import numpy as np
+
+    k = A.shape[0]
+    out = np.empty((k, len(starts)), dtype=np.uint64)
+    for k0 in range(0, k, _SIG_BLOCK):
+        m = A[k0 : k0 + _SIG_BLOCK] * gh[None, :]  # wraps mod 2^64
+        m += B[k0 : k0 + _SIG_BLOCK]
+        m >>= shift  # values in [0, 2^31)
+        out[k0 : k0 + _SIG_BLOCK] = np.minimum.reduceat(m, starts, axis=1)
+    return out
+
 
 def with_minhash_sig(shingles: DataFrame) -> DataFrame:
     """(doc_id, grams) → (doc_id, grams, sig): 128 min-hash values per doc
@@ -395,12 +418,9 @@ def with_minhash_sig(shingles: DataFrame) -> DataFrame:
             # 1.4 s/partition in integer division + 0.9 s in temporaries
             # (three (128, n_grams) allocations); this form is one
             # allocation and zero divisions — 0.065 s for the same input
-            m = A * gh[None, :]  # (128, total_grams), wraps mod 2^64
-            m += B
-            m >>= SHIFT  # values in [0, 2^31)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            mins = np.minimum.reduceat(m, starts, axis=1)  # (128, n_docs)
+            mins = _blocked_minhash(A, B, SHIFT, gh, starts)  # (128, n_docs)
             return pd.Series(list(mins.T.astype(np.int64)))
 
         _sig_udf = pandas_udf(sig, "array<long>")
@@ -462,14 +482,13 @@ def with_text_sig(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 return pd.Series([None] * len(ts), dtype=object)
             flat = np.concatenate([np.asarray(g, dtype=object) for g in gram_lists])
             gh = pd.util.hash_array(flat, hash_key="crawl4ai_spark42", categorize=False)
-            m = A * gh[None, :]  # in-place multiply-shift (see sig())
-            m += B
-            m >>= SHIFT
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             # reduceat segments with len 0 would read the NEXT segment's
             # min — clamp and null them out after
-            mins = np.minimum.reduceat(m, np.clip(starts, 0, len(flat) - 1), axis=1)
+            mins = _blocked_minhash(
+                A, B, SHIFT, gh, np.clip(starts, 0, len(flat) - 1)
+            )
             sigs = mins.T.astype(np.int64)
             return pd.Series(
                 [None if n == 0 else s for n, s in zip(lens, sigs)], dtype=object

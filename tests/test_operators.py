@@ -525,3 +525,27 @@ def test_match_documents_driver_parity_and_gates(spark, tmp_path, monkeypatch):
         )
     finally:
         prepared.unpersist()
+
+
+def test_blocked_minhash_kernel_matches_full_width():
+    """The cache-blocked signature kernel (_SIG_BLOCK rows at a time) must
+    be bit-identical to the one-shot full-width multiply-shift form it
+    replaced — same uint64 wraparound, same reduceat segment mins,
+    including length-1 and repeated-start (clamped empty-gram) segments."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    k, n_grams = 128, 10_000
+    A = rng.integers(1, 2**63, size=k, dtype=np.uint64)[:, None] * np.uint64(2) + np.uint64(1)
+    B = rng.integers(0, 2**63, size=k, dtype=np.uint64)[:, None]
+    shift = np.uint64(33)
+    gh = rng.integers(0, 2**64, size=n_grams, dtype=np.uint64)
+    # segment starts with a duplicate (what the clamped empty-doc path
+    # produces) and a final length-1 segment
+    starts = np.array([0, 5, 5, 700, 4096, n_grams - 1], dtype=np.int64)
+
+    full = (A * gh[None, :] + B) >> shift
+    expected = np.minimum.reduceat(full, starts, axis=1)
+    got = dedup._blocked_minhash(A, B, shift, gh, starts)
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, expected)
